@@ -1,0 +1,255 @@
+"""U-Net / U-Net_B with optional SelectiveNet heads, NHWC, TPU-first.
+
+Capability parity with reference model.py:
+  * ``CBR`` block = Conv3x3(s1, p1, bias) -> BatchNorm -> ReLU (model.py:9-15)
+  * channel schedule 64-64 / 128-128 / 256-256 encoder, 512-512 bottleneck,
+    ConvTranspose(k=2, s=2) upsampling with skip concatenation
+    (model.py:19-66), cat order = (upsampled, skip) on the channel axis
+    (model.py:83, 87, 91)
+  * ``UNetB``: 1x1 head -> 1 channel squeezed to (N, H, W) logits; selective
+    mode adds ``conv_select`` / ``conv_aux`` 1-channel 1x1 heads
+    (model.py:62-66, 96-103)
+  * ``UNet``: n_cls-channel head; selective heads are 2- and n_cls-channel
+    (model.py:150-154, 184-191); outputs NHWC (reference emits NCHW — layout
+    is the only deliberate difference, because NHWC is the TPU-native layout
+    XLA tiles onto the MXU without transposes)
+  * input channels: 3 for RGB-like input types, 2 for GH (model.py:24-27)
+
+Design notes (TPU):
+  * Fully convolutional and shape-polymorphic: the same params run 256x256
+    patches and arbitrary-size tiles (reference u-net_testing.ipynb cells
+    64-74) as long as H, W are multiples of 8.
+  * ``compute_dtype=bfloat16`` keeps conv math on the MXU at bf16 rate while
+    params and BatchNorm statistics stay float32.
+  * BatchNorm: under ``jax.jit`` over a batch-sharded array the batch means
+    are *global-batch* statistics (XLA all-reduces across the mesh). torch
+    DataParallel instead uses per-replica statistics (train.py:132-134);
+    global-batch BN is the cleaner, mesh-size-independent semantics and is
+    what this framework standardizes on (see SURVEY.md §7 risk 2).
+  * Optional ``dropout_rate`` (off by default; the reference model has no
+    dropout) enables the MC stochastic-forward uncertainty path whose
+    aggregation math is specified in reference check_MC_dropout.ipynb.
+  * Initialization mirrors torch's conv defaults: kaiming-uniform(a=sqrt(5))
+    == variance_scaling(1/3, fan_in, uniform); bias ~ U(+-1/sqrt(fan_in)).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+# torch nn.Conv2d default weight init: kaiming_uniform(a=sqrt(5)) which has
+# variance 1/(3 * fan_in) -> variance_scaling(scale=1/3, fan_in, uniform).
+conv_kernel_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
+def torch_bias_init(fan_in: int):
+    """torch conv bias default: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+    bound = 1.0 / (fan_in ** 0.5)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class CBR(nn.Module):
+    """Conv3x3 -> BatchNorm -> ReLU (reference model.py:9-15)."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        fan_in = x.shape[-1] * 9
+        x = nn.Conv(
+            self.features,
+            kernel_size=(3, 3),
+            strides=(1, 1),
+            padding=1,
+            use_bias=True,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=conv_kernel_init,
+            bias_init=torch_bias_init(fan_in),
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,        # torch BatchNorm2d momentum=0.1 <=> flax 0.9
+            epsilon=1e-5,        # torch default
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="bn",
+        )(x)
+        return nn.relu(x)
+
+
+class UpConv(nn.Module):
+    """ConvTranspose(k=2, s=2, bias) upsampler (reference model.py:44-58)."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        # torch's transposed-conv fan_in for init purposes is out_ch * k * k
+        fan_in = self.features * 4
+        return nn.ConvTranspose(
+            self.features,
+            kernel_size=(2, 2),
+            strides=(2, 2),
+            padding="VALID",
+            use_bias=True,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=conv_kernel_init,
+            bias_init=torch_bias_init(fan_in),
+            name="convt",
+        )(x)
+
+
+class Head(nn.Module):
+    """1x1 conv head (reference model.py:62-66, 150-154)."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        fan_in = x.shape[-1]
+        return nn.Conv(
+            self.features,
+            kernel_size=(1, 1),
+            use_bias=True,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=conv_kernel_init,
+            bias_init=torch_bias_init(fan_in),
+            name="conv",
+        )(x)
+
+
+class _UNetTrunk(nn.Module):
+    """Shared encoder/decoder trunk of UNet and UNet_B (model.py:29-61)."""
+
+    dtype: Dtype = jnp.float32
+    dropout_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool, mc_dropout: bool = False) -> jax.Array:
+        d = self.dtype
+        cbr = partial(CBR, dtype=d)
+
+        enc1 = cbr(64, name="enc1_1")(x, train)
+        enc1 = cbr(64, name="enc1_2")(enc1, train)
+        p1 = nn.max_pool(enc1, (2, 2), strides=(2, 2))
+
+        enc2 = cbr(128, name="enc2_1")(p1, train)
+        enc2 = cbr(128, name="enc2_2")(enc2, train)
+        p2 = nn.max_pool(enc2, (2, 2), strides=(2, 2))
+
+        enc3 = cbr(256, name="enc3_1")(p2, train)
+        enc3 = cbr(256, name="enc3_2")(enc3, train)
+        p3 = nn.max_pool(enc3, (2, 2), strides=(2, 2))
+
+        bottom = cbr(512, name="dec4_2")(p3, train)
+        bottom = cbr(512, name="dec4_1")(bottom, train)
+
+        drop = self.dropout_rate
+        use_drop = drop > 0.0 and (train or mc_dropout)
+        if drop > 0.0:
+            bottom = nn.Dropout(drop, deterministic=not use_drop, name="drop_bottom")(bottom)
+
+        u3 = jnp.concatenate([UpConv(256, dtype=d, name="unpool3")(bottom), enc3], axis=-1)
+        dec3 = cbr(256, name="dec3_2")(u3, train)
+        dec3 = cbr(256, name="dec3_1")(dec3, train)
+        if drop > 0.0:
+            dec3 = nn.Dropout(drop, deterministic=not use_drop, name="drop3")(dec3)
+
+        u2 = jnp.concatenate([UpConv(128, dtype=d, name="unpool2")(dec3), enc2], axis=-1)
+        dec2 = cbr(128, name="dec2_2")(u2, train)
+        dec2 = cbr(128, name="dec2_1")(dec2, train)
+
+        u1 = jnp.concatenate([UpConv(64, dtype=d, name="unpool1")(dec2), enc1], axis=-1)
+        dec1 = cbr(64, name="dec1_2")(u1, train)
+        dec1 = cbr(64, name="dec1_1")(dec1, train)
+        return dec1
+
+
+class UNetB(nn.Module):
+    """Binary-head U-Net for BCE-with-logits training (reference model.py:18-103).
+
+    __call__(x NHWC, train) ->
+        non-selective: (N, H, W) float32 logits
+        selective:     tuple (output, select, aux), each (N, H, W) float32
+    """
+
+    selective: bool = False
+    dtype: Dtype = jnp.float32
+    dropout_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False, mc_dropout: bool = False):
+        feat = _UNetTrunk(dtype=self.dtype, dropout_rate=self.dropout_rate, name="trunk")(
+            x, train, mc_dropout
+        )
+        out = Head(1, dtype=self.dtype, name="conv1x1")(feat)
+        out = jnp.squeeze(out, -1).astype(jnp.float32)
+        if not self.selective:
+            return out
+        select = jnp.squeeze(Head(1, dtype=self.dtype, name="conv_select")(feat), -1)
+        aux = jnp.squeeze(Head(1, dtype=self.dtype, name="conv_aux")(feat), -1)
+        return out, select.astype(jnp.float32), aux.astype(jnp.float32)
+
+
+class UNet(nn.Module):
+    """n_cls-head U-Net for CE training (reference model.py:106-191).
+
+    __call__(x NHWC, train) ->
+        non-selective: (N, H, W, n_cls) float32 logits
+        selective:     (output (N,H,W,n_cls), select (N,H,W,2), aux (N,H,W,n_cls))
+    """
+
+    n_cls: int = 2
+    selective: bool = False
+    dtype: Dtype = jnp.float32
+    dropout_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False, mc_dropout: bool = False):
+        feat = _UNetTrunk(dtype=self.dtype, dropout_rate=self.dropout_rate, name="trunk")(
+            x, train, mc_dropout
+        )
+        out = Head(self.n_cls, dtype=self.dtype, name="conv1x1")(feat).astype(jnp.float32)
+        if not self.selective:
+            return out
+        select = Head(2, dtype=self.dtype, name="conv_select")(feat).astype(jnp.float32)
+        aux = Head(self.n_cls, dtype=self.dtype, name="conv_aux")(feat).astype(jnp.float32)
+        return out, select, aux
+
+
+def build_model(
+    model_arch: str,
+    n_cls: int = 2,
+    selective: bool = False,
+    compute_dtype: str = "float32",
+    dropout_rate: float = 0.0,
+) -> nn.Module:
+    """Factory matching the reference's arch selection (train.py:71-74)."""
+    dtype = jnp.dtype(compute_dtype)
+    if model_arch == "UNet_B":
+        return UNetB(selective=selective, dtype=dtype, dropout_rate=dropout_rate)
+    if model_arch == "UNet":
+        return UNet(n_cls=n_cls, selective=selective, dtype=dtype, dropout_rate=dropout_rate)
+    raise ValueError(f"unknown model_arch {model_arch!r} (expected 'UNet' or 'UNet_B')")
+
+
+def count_params(params) -> int:
+    return sum(int(p.size) for p in jax.tree_util.tree_leaves(params))

@@ -1,0 +1,191 @@
+"""Loss-layer golden-value tests.
+
+The reference validates its losses by hand-expanded sigmoid/log-softmax formulas
+on toy tensors (jupyters/chcek_losses.ipynb cells 4-5, 9-13) and trusts torch for
+the rest. Here every loss is checked (a) against an independent numpy
+hand-expansion and (b) against torch functional ops where available.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from selectivenet_for_semantic_segmentation_binary_tpu.ops import (
+    bce_with_logits,
+    make_one_hot,
+    selective_risk_b,
+    selective_risk_ce,
+    softmax_cross_entropy,
+)
+
+
+def _np_sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x.astype(np.float64)))
+
+
+class TestBCE:
+    def test_golden_hand_formula(self, rng):
+        x = rng.standard_normal((2, 3, 3)).astype(np.float32)
+        y = (rng.random((2, 3, 3)) > 0.5).astype(np.float32)
+        p = _np_sigmoid(x)
+        expected = -np.mean(y * np.log(p) + (1 - y) * np.log(1 - p))
+        got = float(bce_with_logits(jnp.asarray(x), jnp.asarray(y)))
+        assert got == pytest.approx(expected, rel=1e-5)
+
+    def test_torch_parity(self, rng):
+        torch = pytest.importorskip("torch")
+        x = rng.standard_normal((4, 8, 8)).astype(np.float32) * 5
+        y = (rng.random((4, 8, 8)) > 0.3).astype(np.float32)
+        expected = torch.nn.functional.binary_cross_entropy_with_logits(
+            torch.from_numpy(x), torch.from_numpy(y)
+        ).item()
+        got = float(bce_with_logits(jnp.asarray(x), jnp.asarray(y)))
+        assert got == pytest.approx(expected, rel=1e-5)
+
+
+class TestCE:
+    def test_golden_hand_formula(self, rng):
+        logits = rng.standard_normal((1, 3, 3, 2)).astype(np.float32)
+        labels = rng.integers(0, 2, (1, 3, 3))
+        # hand expansion as in chcek_losses.ipynb cell 13
+        e = np.exp(logits.astype(np.float64))
+        logp = np.log(e / e.sum(-1, keepdims=True))
+        expected = -np.mean(np.take_along_axis(logp, labels[..., None], -1))
+        got = float(softmax_cross_entropy(jnp.asarray(logits), jnp.asarray(labels)))
+        assert got == pytest.approx(expected, rel=1e-5)
+
+    def test_torch_parity_nchw(self, rng):
+        torch = pytest.importorskip("torch")
+        logits = rng.standard_normal((2, 4, 4, 3)).astype(np.float32)
+        labels = rng.integers(0, 3, (2, 4, 4))
+        expected = torch.nn.functional.cross_entropy(
+            torch.from_numpy(logits.transpose(0, 3, 1, 2)), torch.from_numpy(labels)
+        ).item()
+        got = float(softmax_cross_entropy(jnp.asarray(logits), jnp.asarray(labels)))
+        assert got == pytest.approx(expected, rel=1e-5)
+
+
+class TestOneHot:
+    def test_matches_scatter_semantics(self, rng):
+        labels = rng.integers(0, 4, (2, 3, 3))
+        oh = np.asarray(make_one_hot(jnp.asarray(labels), 4))
+        assert oh.shape == (2, 3, 3, 4)
+        assert np.all(oh.sum(-1) == 1)
+        assert np.all(np.argmax(oh, -1) == labels)
+
+
+class TestSelectiveRiskB:
+    """calc_selective_risk_image_b (reference selective_loss.py:58-85)."""
+
+    def _numpy_reference(self, out, sel, y, tc=0.8, lamb=8.0):
+        g = _np_sigmoid(sel)
+        coverage = g.mean()
+        p = _np_sigmoid(out)
+        risk = -np.mean((y * np.log(p) + (1 - y) * np.log(1 - p)) * g) / coverage
+        constraint = max(tc - coverage, 0.0) ** 2
+        return risk + lamb * constraint, coverage
+
+    def test_golden(self, rng):
+        out = rng.standard_normal((2, 4, 4)).astype(np.float32)
+        sel = rng.standard_normal((2, 4, 4)).astype(np.float32)
+        y = (rng.random((2, 4, 4)) > 0.5).astype(np.float32)
+        exp_loss, exp_cov = self._numpy_reference(out, sel, y)
+        loss, cov = selective_risk_b(jnp.asarray(out), jnp.asarray(sel), jnp.asarray(y))
+        assert float(loss) == pytest.approx(exp_loss, rel=1e-4)
+        assert float(cov) == pytest.approx(exp_cov, rel=1e-5)
+
+    def test_lambda_and_target_coverage(self, rng):
+        out = rng.standard_normal((1, 4, 4)).astype(np.float32)
+        sel = -3.0 * np.ones((1, 4, 4), np.float32)  # low coverage -> active constraint
+        y = np.ones((1, 4, 4), np.float32)
+        exp_loss, _ = self._numpy_reference(out, sel, y, tc=0.9, lamb=2.0)
+        loss, _ = selective_risk_b(
+            jnp.asarray(out), jnp.asarray(sel), jnp.asarray(y),
+            target_coverage=0.9, lamb=2.0,
+        )
+        assert float(loss) == pytest.approx(exp_loss, rel=1e-4)
+
+    def test_constraint_inactive_above_target(self):
+        out = jnp.zeros((1, 4, 4))
+        sel = 10.0 * jnp.ones((1, 4, 4))  # coverage ~1 > 0.8
+        y = jnp.ones((1, 4, 4))
+        loss_l8, _ = selective_risk_b(out, sel, y, lamb=8.0)
+        loss_l0, _ = selective_risk_b(out, sel, y, lamb=0.0)
+        assert float(loss_l8) == pytest.approx(float(loss_l0), rel=1e-6)
+
+    def test_hard_selection_detached_and_binary(self, rng):
+        out = rng.standard_normal((1, 4, 4)).astype(np.float32)
+        sel = rng.standard_normal((1, 4, 4)).astype(np.float32)
+        y = np.ones((1, 4, 4), np.float32)
+
+        def loss_wrt_sel(s):
+            loss, _ = selective_risk_b(jnp.asarray(out), s, jnp.asarray(y), hard_selection=True)
+            return loss
+
+        grad = jax.grad(loss_wrt_sel)(jnp.asarray(sel))
+        np.testing.assert_allclose(np.asarray(grad), 0.0)
+
+    def test_grad_flows_through_selection(self, rng):
+        out = rng.standard_normal((1, 4, 4)).astype(np.float32)
+        sel = rng.standard_normal((1, 4, 4)).astype(np.float32)
+        y = np.ones((1, 4, 4), np.float32)
+        grad = jax.grad(lambda s: selective_risk_b(jnp.asarray(out), s, jnp.asarray(y))[0])(
+            jnp.asarray(sel)
+        )
+        assert np.abs(np.asarray(grad)).max() > 0
+
+    def test_numerically_stable_extreme_logits(self):
+        """The reference's naive log(sigmoid(x)) produces -inf at |x| ~ 100."""
+        out = jnp.asarray([[[-100.0, 100.0], [50.0, -50.0]]])
+        sel = jnp.zeros((1, 2, 2))
+        y = jnp.asarray([[[0.0, 1.0], [1.0, 0.0]]])
+        loss, _ = selective_risk_b(out, sel, y)
+        assert np.isfinite(float(loss))
+
+
+class TestSelectiveRiskCE:
+    """calc_selective_risk_image (reference selective_loss.py:24-56)."""
+
+    def _numpy_reference(self, out, sel, y, tc=0.8, lamb=8.0):
+        e = np.exp(sel.astype(np.float64))
+        g = (e / e.sum(-1, keepdims=True))[..., 1]
+        coverage = g.mean()
+        eo = np.exp(out.astype(np.float64))
+        logp = np.log(eo / eo.sum(-1, keepdims=True))
+        onehot = np.eye(out.shape[-1])[y]
+        risk = -np.mean(np.sum(logp * onehot, -1) * g) / coverage
+        constraint = max(tc - coverage, 0.0) ** 2
+        return risk + lamb * constraint, coverage
+
+    def test_golden(self, rng):
+        out = rng.standard_normal((2, 4, 4, 2)).astype(np.float32)
+        sel = rng.standard_normal((2, 4, 4, 2)).astype(np.float32)
+        y = rng.integers(0, 2, (2, 4, 4))
+        exp_loss, exp_cov = self._numpy_reference(out, sel, y)
+        loss, cov = selective_risk_ce(jnp.asarray(out), jnp.asarray(sel), jnp.asarray(y))
+        assert float(loss) == pytest.approx(exp_loss, rel=1e-4)
+        assert float(cov) == pytest.approx(exp_cov, rel=1e-5)
+
+    def test_accepts_onehot_target(self, rng):
+        out = rng.standard_normal((1, 4, 4, 3)).astype(np.float32)
+        sel = rng.standard_normal((1, 4, 4, 2)).astype(np.float32)
+        y = rng.integers(0, 3, (1, 4, 4))
+        loss_int, _ = selective_risk_ce(jnp.asarray(out), jnp.asarray(sel), jnp.asarray(y))
+        onehot = jnp.asarray(np.eye(3, dtype=np.float32)[y])
+        loss_oh, _ = selective_risk_ce(jnp.asarray(out), jnp.asarray(sel), onehot)
+        assert float(loss_int) == pytest.approx(float(loss_oh), rel=1e-6)
+
+
+class TestCompositeObjective:
+    """Reference train.py:193-201: loss = aux_loss + select_loss."""
+
+    def test_composite_is_sum(self, rng):
+        out = rng.standard_normal((1, 4, 4)).astype(np.float32)
+        sel = rng.standard_normal((1, 4, 4)).astype(np.float32)
+        aux = rng.standard_normal((1, 4, 4)).astype(np.float32)
+        y = (rng.random((1, 4, 4)) > 0.5).astype(np.float32)
+        aux_loss = bce_with_logits(jnp.asarray(aux), jnp.asarray(y))
+        sel_loss, _ = selective_risk_b(jnp.asarray(out), jnp.asarray(sel), jnp.asarray(y), lamb=2.0)
+        total = float(aux_loss + sel_loss)
+        assert total == pytest.approx(float(aux_loss) + float(sel_loss), rel=1e-6)

@@ -1,0 +1,212 @@
+"""Model architecture tests: shapes, head counts, parameter parity, op parity.
+
+Parameter counts are checked against the layer dimensions of reference
+model.py:19-66 (hand-computable); conv / transposed-conv / pool semantics are
+checked numerically against torch's functional ops (torch-cpu is the oracle,
+never a code source).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from selectivenet_for_semantic_segmentation_binary_tpu.models import (
+    UNet,
+    UNetB,
+    build_model,
+    count_params,
+)
+
+
+def _conv_params(cin, cout, k=3):
+    return cin * cout * k * k + cout
+
+
+def _bn_params(c):
+    return 2 * c  # scale + bias (learnable); running stats live in batch_stats
+
+
+def _cbr(cin, cout):
+    return _conv_params(cin, cout, 3) + _bn_params(cout)
+
+
+def expected_trunk_params(input_ch):
+    """Layer schedule of reference model.py:29-61."""
+    total = 0
+    total += _cbr(input_ch, 64) + _cbr(64, 64)        # enc1
+    total += _cbr(64, 128) + _cbr(128, 128)           # enc2
+    total += _cbr(128, 256) + _cbr(256, 256)          # enc3
+    total += _cbr(256, 512) + _cbr(512, 512)          # bottleneck
+    total += 512 * 256 * 4 + 256                      # unpool3 convT k2
+    total += _cbr(512, 256) + _cbr(256, 256)          # dec3
+    total += 256 * 128 * 4 + 128                      # unpool2
+    total += _cbr(256, 128) + _cbr(128, 128)          # dec2
+    total += 128 * 64 * 4 + 64                        # unpool1
+    total += _cbr(128, 64) + _cbr(64, 64)             # dec1
+    return total
+
+
+def init_model(model, input_ch=3, size=32):
+    x = jnp.zeros((1, size, size, input_ch), jnp.float32)
+    return model.init(jax.random.PRNGKey(0), x, train=False)
+
+
+class TestUNetB:
+    def test_forward_shape_plain(self):
+        model = UNetB(selective=False)
+        variables = init_model(model)
+        x = jnp.ones((2, 32, 32, 3))
+        out = model.apply(variables, x, train=False)
+        assert out.shape == (2, 32, 32)
+
+    def test_forward_shape_selective(self):
+        model = UNetB(selective=True)
+        variables = init_model(model)
+        x = jnp.ones((2, 32, 32, 3))
+        out, select, aux = model.apply(variables, x, train=False)
+        assert out.shape == select.shape == aux.shape == (2, 32, 32)
+
+    def test_param_count_plain_rgb(self):
+        model = UNetB(selective=False)
+        variables = init_model(model, input_ch=3)
+        expected = expected_trunk_params(3) + (64 * 1 + 1)  # + conv1x1 head
+        assert count_params(variables["params"]) == expected
+
+    def test_param_count_selective_rgb(self):
+        model = UNetB(selective=True)
+        variables = init_model(model, input_ch=3)
+        expected = expected_trunk_params(3) + 3 * (64 * 1 + 1)  # f, g, h heads
+        assert count_params(variables["params"]) == expected
+        # ~7.70 M params per SURVEY.md §2.1
+        assert 7.6e6 < count_params(variables["params"]) < 7.8e6
+
+    def test_gh_input_two_channels(self):
+        model = UNetB(selective=False)
+        variables = init_model(model, input_ch=2)
+        x = jnp.ones((1, 32, 32, 2))
+        out = model.apply(variables, x, train=False)
+        assert out.shape == (1, 32, 32)
+
+    def test_arbitrary_size_inference(self):
+        """Reference u-net_testing.ipynb cells 64-74: the FCN accepts larger inputs."""
+        model = UNetB(selective=False)
+        variables = init_model(model, size=32)
+        x = jnp.ones((1, 64, 64, 3))
+        out = model.apply(variables, x, train=False)
+        assert out.shape == (1, 64, 64)
+
+    def test_train_mode_updates_batch_stats(self):
+        model = UNetB(selective=False)
+        variables = init_model(model)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+        _, mutated = model.apply(variables, x, train=True, mutable=["batch_stats"])
+        before = variables["batch_stats"]["trunk"]["enc1_1"]["bn"]["mean"]
+        after = mutated["batch_stats"]["trunk"]["enc1_1"]["bn"]["mean"]
+        assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+class TestUNet:
+    def test_forward_shapes(self):
+        model = UNet(n_cls=2, selective=True)
+        variables = init_model(model)
+        x = jnp.ones((2, 32, 32, 3))
+        out, select, aux = model.apply(variables, x, train=False)
+        assert out.shape == (2, 32, 32, 2)
+        assert select.shape == (2, 32, 32, 2)
+        assert aux.shape == (2, 32, 32, 2)
+
+    def test_param_count(self):
+        model = UNet(n_cls=2, selective=True)
+        variables = init_model(model)
+        expected = expected_trunk_params(3) + (64 * 2 + 2) * 2 + (64 * 2 + 2)
+        assert count_params(variables["params"]) == expected
+
+
+class TestBuildModel:
+    def test_factory(self):
+        assert isinstance(build_model("UNet_B"), UNetB)
+        assert isinstance(build_model("UNet", n_cls=3), UNet)
+        with pytest.raises(ValueError):
+            build_model("ResNet")
+
+    def test_bfloat16_compute_keeps_fp32_output(self):
+        model = build_model("UNet_B", compute_dtype="bfloat16")
+        variables = init_model(model)
+        out = model.apply(variables, jnp.ones((1, 32, 32, 3)), train=False)
+        assert out.dtype == jnp.float32
+
+
+class TestTorchOpParity:
+    """Numerical parity of the building-block ops against torch (the oracle)."""
+
+    def test_conv3x3_same_padding(self, rng):
+        torch = pytest.importorskip("torch")
+        x = rng.standard_normal((1, 8, 8, 4)).astype(np.float32)
+        w = rng.standard_normal((3, 3, 4, 6)).astype(np.float32)  # HWIO
+        b = rng.standard_normal((6,)).astype(np.float32)
+
+        y_jax = jax.lax.conv_general_dilated(
+            jnp.asarray(x), jnp.asarray(w),
+            window_strides=(1, 1), padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b
+
+        xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        wt = torch.from_numpy(w.transpose(3, 2, 0, 1))  # OIHW
+        yt = torch.nn.functional.conv2d(xt, wt, torch.from_numpy(b), padding=1)
+        np.testing.assert_allclose(
+            np.asarray(y_jax), yt.numpy().transpose(0, 2, 3, 1), rtol=1e-4, atol=1e-4
+        )
+
+    def test_conv_transpose_k2s2(self, rng):
+        """flax ConvTranspose(k2, s2, VALID) must equal torch ConvTranspose2d(k2, s2)."""
+        torch = pytest.importorskip("torch")
+        from flax import linen as nn
+
+        x = rng.standard_normal((1, 4, 4, 8)).astype(np.float32)
+        layer = nn.ConvTranspose(4, kernel_size=(2, 2), strides=(2, 2), padding="VALID")
+        variables = layer.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        y_jax = layer.apply(variables, jnp.asarray(x))
+        assert y_jax.shape == (1, 8, 8, 4)
+
+        w = np.asarray(variables["params"]["kernel"])  # (kh, kw, in, out)
+        b = np.asarray(variables["params"]["bias"])
+        xt = torch.from_numpy(x.transpose(0, 3, 1, 2).copy())
+        # flax's ConvTranspose kernel equals torch's ConvTranspose2d weight
+        # (in, out, kh, kw) with the spatial taps flipped (verified empirically;
+        # utils/checkpoint.py relies on this mapping when importing .pth files).
+        wt = torch.from_numpy(w[::-1, ::-1].transpose(2, 3, 0, 1).copy())
+        yt = torch.nn.functional.conv_transpose2d(xt, wt, torch.from_numpy(b), stride=2)
+        np.testing.assert_allclose(
+            np.asarray(y_jax), yt.numpy().transpose(0, 2, 3, 1), rtol=1e-4, atol=1e-4
+        )
+
+    def test_max_pool(self, rng):
+        torch = pytest.importorskip("torch")
+        from flax import linen as nn
+
+        x = rng.standard_normal((1, 8, 8, 3)).astype(np.float32)
+        y_jax = nn.max_pool(jnp.asarray(x), (2, 2), strides=(2, 2))
+        yt = torch.nn.functional.max_pool2d(torch.from_numpy(x.transpose(0, 3, 1, 2)), 2)
+        np.testing.assert_allclose(np.asarray(y_jax), yt.numpy().transpose(0, 2, 3, 1))
+
+    def test_batchnorm_train_and_eval(self, rng):
+        torch = pytest.importorskip("torch")
+        from flax import linen as nn
+
+        x = rng.standard_normal((4, 8, 8, 3)).astype(np.float32)
+        bn = nn.BatchNorm(use_running_average=False, momentum=0.9, epsilon=1e-5)
+        variables = bn.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        y_jax, mutated = bn.apply(variables, jnp.asarray(x), mutable=["batch_stats"])
+
+        bnt = torch.nn.BatchNorm2d(3, eps=1e-5, momentum=0.1)
+        bnt.train()
+        yt = bnt(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        np.testing.assert_allclose(
+            np.asarray(y_jax), yt.detach().numpy().transpose(0, 2, 3, 1), rtol=1e-4, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(mutated["batch_stats"]["mean"]),
+            bnt.running_mean.numpy(), rtol=1e-4, atol=1e-5,
+        )
