@@ -1,0 +1,154 @@
+"""Patch dataset: JPEG/PNG WSI patch pairs on disk.
+
+Counterpart of reference utils/data_utils.py:174-236 with identical on-disk
+contract:
+
+* files live in ``{data_dir}/{patch_mag}x_{patch_size}/``;
+* names ``{slide_id}_{x}_{y}_input.jpg`` / ``{slide_id}_{x}_{y}_label.png``;
+* input/label pairness asserted by filename-stem equality;
+* ``__getitem__``: decode, label -> "L" grayscale, both / 255, input float32,
+  label uint8 (so a 0/255 PNG becomes 0/1), optional RGB2GH / H_RGB stain
+  conversion, returns ``{"id", "input" (H, W, C) float32, "label" (H, W)}``.
+
+Also provides ``write_synthetic_patch_tree`` — the synthetic fixture generator
+used by tests and the benchmark (the reference has no test data; SURVEY.md §4
+calls for generated JPEG/PNG patch trees).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+from PIL import Image
+
+from .stain import H_RGB, RGB2GH
+
+
+class PatchDataset:
+    """Map-style dataset of (input JPEG, label PNG) patch pairs."""
+
+    def __init__(
+        self,
+        data_dir: str,
+        data_list: Sequence,
+        patch_mag: int = 200,
+        patch_size: int = 256,
+        input_type: str = "RGB",
+        transform=None,
+    ):
+        self.data_dir = data_dir
+        self.data_list = data_list
+        self.transform = transform
+        self.input_type = input_type
+        self.patch_mag = patch_mag
+        self.patch_size = patch_size
+
+        input_list, label_list = [], []
+        for f in data_list:
+            assert f[0].split("_input")[0] == f[1].split("_label")[0], (
+                f"check the pairness btw input {f[0]} and label {f[1]}"
+            )
+            input_list.append(f[0])
+            label_list.append(f[1])
+        self.input_list = input_list
+        self.label_list = label_list
+
+    def __len__(self) -> int:
+        return len(self.input_list)
+
+    @property
+    def patch_dir(self) -> str:
+        return os.path.join(self.data_dir, f"{self.patch_mag}x_{self.patch_size}")
+
+    def __getitem__(self, index: int, rng: Optional[np.random.Generator] = None):
+        assert len(self.input_list) == len(self.label_list)
+        assert (
+            self.input_list[index].split("_input")[0]
+            == self.label_list[index].split("_label")[0]
+        ), f"image {self.input_list[index]}, label {self.label_list[index]}"
+
+        inp = Image.open(os.path.join(self.patch_dir, self.input_list[index]))
+        lab = Image.open(os.path.join(self.patch_dir, self.label_list[index])).convert("L")
+
+        inp = np.asarray(inp, dtype=np.float32) / 255.0
+        lab = (np.asarray(lab) / 255.0).astype(np.uint8)
+
+        if self.input_type == "GH":
+            inp = RGB2GH(inp)
+        elif self.input_type == "H_RGB":
+            inp = H_RGB(inp)
+
+        data = {
+            "id": self.input_list[index].split("_input")[0],
+            "input": inp,
+            "label": lab,
+        }
+        if self.transform:
+            if rng is None:
+                rng = np.random.default_rng()
+            data = self.transform(data, rng)
+        return data
+
+
+def write_synthetic_patch_tree(
+    data_dir: str,
+    n_slides: int = 2,
+    patches_per_slide: int = 8,
+    patch_mag: int = 200,
+    patch_size: int = 64,
+    tumor_fraction: float = 0.5,
+    seed: int = 0,
+    n_folds: int = 5,
+) -> None:
+    """Generate a reference-layout synthetic dataset incl. fold npy files.
+
+    Creates ``{data_dir}/{patch_mag}x_{patch_size}/`` with JPEG inputs whose
+    tumor regions are reddish tissue on a pale background, PNG labels (0/255),
+    plus ``{i}-fold_{non_}tumorable_data.npy`` pair lists for all folds — the
+    exact inputs construct_train_valid/construct_test consume.
+    """
+    rng = np.random.default_rng(seed)
+    patch_dir = os.path.join(data_dir, f"{patch_mag}x_{patch_size}")
+    os.makedirs(patch_dir, exist_ok=True)
+
+    tumorable, non_tumorable = [], []
+    for s in range(n_slides):
+        for p in range(patches_per_slide):
+            x, y = 256 * p, 512 * p
+            stem = f"slide{s:02d}_{x}_{y}"
+            is_tumor = rng.random() < tumor_fraction
+
+            # pale tissue-like background with stain-colored texture
+            img = np.clip(
+                220 + 20 * rng.standard_normal((patch_size, patch_size, 3)), 0, 255
+            )
+            label = np.zeros((patch_size, patch_size), np.uint8)
+            if is_tumor:
+                h = patch_size // 2
+                cy, cx = rng.integers(0, patch_size - h, 2)
+                label[cy : cy + h, cx : cx + h] = 255
+                img[cy : cy + h, cx : cx + h] = np.clip(
+                    np.array([150.0, 60.0, 120.0])
+                    + 25 * rng.standard_normal((h, h, 3)),
+                    0,
+                    255,
+                )
+
+            Image.fromarray(img.astype(np.uint8)).save(
+                os.path.join(patch_dir, f"{stem}_input.jpg"), quality=92
+            )
+            Image.fromarray(label).save(os.path.join(patch_dir, f"{stem}_label.png"))
+
+            pair = (f"{stem}_input.jpg", f"{stem}_label.png")
+            (tumorable if is_tumor else non_tumorable).append(pair)
+
+    for class_name, pairs in (("tumorable", tumorable), ("non_tumorable", non_tumorable)):
+        for i in range(n_folds):
+            fold_pairs = pairs[i::n_folds]
+            if not fold_pairs:  # keep npy 2-D even when a fold is empty
+                arr = np.empty((0, 2), dtype="<U64")
+            else:
+                arr = np.array(fold_pairs)
+            np.save(os.path.join(data_dir, f"{i + 1}-fold_{class_name}_data.npy"), arr)

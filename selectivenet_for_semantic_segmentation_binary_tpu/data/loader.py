@@ -1,0 +1,131 @@
+"""Threaded host->device batch feed.
+
+Replaces torch's DataLoader (reference train.py:380-381, 16 worker processes)
+with a thread-pool decode + background batch assembly + device prefetch design
+suited to feeding a TPU mesh:
+
+* static shapes: every batch has exactly ``batch_size`` samples; with
+  ``drop_last=False`` the final partial batch is padded — inputs with zeros and
+  labels with ``PAD_LABEL`` so padded pixels drop out of the confusion matrix
+  for free (see ops/confusion.py) and the jit caches exactly one executable;
+* double-buffered: a producer thread assembles and ``jax.device_put``s the next
+  batch (sharded across the mesh when a sharding is given) while the previous
+  one is being consumed, overlapping decode + H2D with TPU compute;
+* deterministic augmentation: each sample's RNG is seeded by
+  (seed, epoch, dataset index), so runs reproduce regardless of thread timing.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional
+
+import numpy as np
+
+from ..ops.confusion import PAD_LABEL
+
+_SENTINEL = object()
+
+
+class PatchLoader:
+    """Iterable batch loader over a PatchDataset (or any map-style dataset
+    whose __getitem__(i, rng) returns {"input": (H, W, C) f32, "label": (H, W)})."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        num_workers: int = 8,
+        drop_last: bool = False,
+        seed: int = 0,
+        sharding=None,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.drop_last = drop_last
+        self.seed = seed
+        self.sharding = sharding
+        self.prefetch = max(1, prefetch)
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
+
+    # -- internals -----------------------------------------------------------
+    def _order(self) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng([self.seed, self._epoch]).shuffle(idx)
+        return idx
+
+    def _load_sample(self, index: int):
+        rng = np.random.default_rng([self.seed, self._epoch, int(index)])
+        try:
+            return self.dataset.__getitem__(int(index), rng=rng)
+        except TypeError:
+            return self.dataset[int(index)]
+
+    def _assemble(self, pool: ThreadPoolExecutor, indices: np.ndarray):
+        samples = list(pool.map(self._load_sample, indices))
+        inp = np.stack([s["input"] for s in samples]).astype(np.float32)
+        lab = np.stack([s["label"] for s in samples]).astype(np.int32)
+        ids = [s.get("id", str(i)) for s, i in zip(samples, indices)]
+
+        nvalid = inp.shape[0]
+        if nvalid < self.batch_size:  # pad the final partial batch
+            pad = self.batch_size - nvalid
+            inp = np.concatenate([inp, np.zeros((pad,) + inp.shape[1:], np.float32)])
+            lab = np.concatenate([lab, np.full((pad,) + lab.shape[1:], PAD_LABEL, np.int32)])
+
+        batch = {"input": inp, "label": lab}
+        if self.sharding is not None:
+            import jax
+
+            batch = {k: jax.device_put(v, self.sharding) for k, v in batch.items()}
+        batch["id"] = ids
+        batch["nvalid"] = nvalid
+        return batch
+
+    def __iter__(self) -> Iterator[dict]:
+        order = self._order()
+        nb = len(self)
+        batches = [order[i * self.batch_size : (i + 1) * self.batch_size] for i in range(nb)]
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                    for b in batches:
+                        if stop.is_set():
+                            return
+                        q.put(self._assemble(pool, b))
+                q.put(_SENTINEL)
+            except BaseException as e:  # propagate decode errors to the consumer
+                q.put(e)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is _SENTINEL:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()

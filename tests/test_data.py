@@ -1,0 +1,237 @@
+"""Data-pipeline tests: stain math, fold splits, dataset contract, loader."""
+
+import numpy as np
+import pytest
+
+from selectivenet_for_semantic_segmentation_binary_tpu.data import (
+    Compose,
+    H_RGB,
+    Normalization,
+    PartialNonTissue,
+    PatchDataset,
+    PatchLoader,
+    RandomFlip,
+    RGB2GH,
+    ToArray,
+    construct_test,
+    construct_train_valid,
+    write_synthetic_patch_tree,
+)
+from selectivenet_for_semantic_segmentation_binary_tpu.data.stain import (
+    H_MAX,
+    H_MIN,
+    combine_stains,
+    separate_stains,
+)
+from selectivenet_for_semantic_segmentation_binary_tpu.ops.confusion import PAD_LABEL
+
+
+@pytest.fixture(scope="module")
+def patch_tree(tmp_path_factory):
+    d = tmp_path_factory.mktemp("data")
+    write_synthetic_patch_tree(str(d), n_slides=3, patches_per_slide=10, patch_size=32)
+    return str(d)
+
+
+class TestStain:
+    def test_reference_constants_reproduced(self):
+        """The reference hard-codes h_min/h_max mined by brute force over the RGB
+        cube (data_utils.py:23, check_rgb_color_space.ipynb); our analytic
+        extrema must match those constants to 8 digits."""
+        assert H_MIN == pytest.approx(-0.66781543, abs=1e-8)
+        assert H_MAX == pytest.approx(1.87798274, abs=1e-8)
+
+    def test_separate_combine_roundtrip(self, rng):
+        rgb = rng.random((8, 8, 3)).astype(np.float32) * 0.9 + 0.05
+        stains = separate_stains(rgb)
+        back = combine_stains(stains)
+        np.testing.assert_allclose(back, rgb, atol=1e-4)
+
+    def test_rgb2gh_shape_and_range(self, rng):
+        rgb = rng.random((16, 16, 3)).astype(np.float32)
+        gh = RGB2GH(rgb)
+        assert gh.shape == (16, 16, 2)
+        assert gh.dtype == np.float32
+        assert 0.0 <= gh[..., 0].min() and gh[..., 0].max() <= 1.0
+        assert 0.0 <= gh[..., 1].min() and gh[..., 1].max() <= 1.0
+
+    def test_h_rgb_shape(self, rng):
+        rgb = rng.random((16, 16, 3)).astype(np.float32)
+        out = H_RGB(rgb)
+        assert out.shape == (16, 16, 3)
+        assert out.dtype == np.float32
+        assert 0.0 <= out.min() and out.max() <= 1.0
+
+    def test_pure_hematoxylin_pixel_high_h(self):
+        """A pixel colored like pure Hematoxylin should score higher H than a
+        white (non-tissue) pixel."""
+        he_pixel = combine_stains(np.array([[[0.7, 0.0, 0.0]]]))
+        white = np.ones((1, 1, 3))
+        h_he = separate_stains(he_pixel)[0, 0, 0]
+        h_white = separate_stains(white)[0, 0, 0]
+        assert h_he > h_white + 0.3
+
+
+class TestFolds:
+    def test_split_ratio_and_disjoint(self, patch_tree):
+        train, valid = construct_train_valid(patch_tree, test_fold=5)
+        test = construct_test(patch_tree, test_fold=5)
+        train_set = {tuple(r) for r in train}
+        valid_set = {tuple(r) for r in valid}
+        test_set = {tuple(r) for r in test}
+        assert train_set.isdisjoint(valid_set)
+        assert (train_set | valid_set).isdisjoint(test_set)
+        total = len(train_set) + len(valid_set)
+        assert len(valid_set) <= total * 0.25  # ~20% stratified
+
+    def test_split_is_deterministic(self, patch_tree):
+        t1, v1 = construct_train_valid(patch_tree, test_fold=5)
+        t2, v2 = construct_train_valid(patch_tree, test_fold=5)
+        np.testing.assert_array_equal(t1, t2)
+        np.testing.assert_array_equal(v1, v2)
+
+    def test_matches_reference_rng_sequence(self, patch_tree):
+        """The reference seeds global numpy with 42 and calls np.random.choice;
+        our RandomState(42) must draw the identical index sequence."""
+        train, valid = construct_train_valid(patch_tree, test_fold=5, seed=42)
+
+        # replay using the legacy global-seed path the reference uses
+        folds = [1, 2, 3, 4]
+        tum, non = [], []
+        for i in folds:
+            tum.append(np.load(f"{patch_tree}/{i}-fold_tumorable_data.npy"))
+            non.append(np.load(f"{patch_tree}/{i}-fold_non_tumorable_data.npy"))
+        tum, non = np.concatenate(tum), np.concatenate(non)
+        np.random.seed(42)
+        vi_t = np.random.choice(len(tum), size=int(len(tum) * 0.2), replace=False)
+        vi_n = np.random.choice(len(non), size=int(len(non) * 0.2), replace=False)
+        expected_valid = np.vstack(
+            [tum[np.sort(vi_t)][np.argsort(np.argsort(np.sort(vi_t)))], non[vi_n]]
+        )
+        # order within the valid list: reference uses fancy-indexing by the raw
+        # choice order for valid; compare as sets and sizes for robustness,
+        # and exactly for the non-tumorable half
+        assert {tuple(r) for r in valid} == {tuple(r) for r in np.vstack([tum[vi_t], non[vi_n]])}
+        np.testing.assert_array_equal(valid[-len(vi_n):], non[vi_n])
+
+
+class TestPatchDataset:
+    def test_getitem_contract(self, patch_tree):
+        test = construct_test(patch_tree, test_fold=1)
+        ds = PatchDataset(patch_tree, test, patch_mag=200, patch_size=32)
+        sample = ds[0]
+        assert sample["input"].shape == (32, 32, 3)
+        assert sample["input"].dtype == np.float32
+        assert sample["label"].shape == (32, 32)
+        assert sample["label"].dtype == np.uint8
+        assert set(np.unique(sample["label"])) <= {0, 1}
+        assert 0.0 <= sample["input"].min() and sample["input"].max() <= 1.0
+        assert "_input" not in sample["id"]
+
+    def test_pairness_assertion(self, patch_tree):
+        bad = [("a_0_0_input.jpg", "b_0_0_label.png")]
+        with pytest.raises(AssertionError):
+            PatchDataset(patch_tree, bad, patch_size=32)
+
+    def test_gh_input(self, patch_tree):
+        test = construct_test(patch_tree, test_fold=1)
+        ds = PatchDataset(patch_tree, test, patch_size=32, input_type="GH")
+        assert ds[0]["input"].shape == (32, 32, 2)
+
+    def test_transform_pipeline(self, patch_tree):
+        test = construct_test(patch_tree, test_fold=1)
+        tf = Compose([Normalization(0.5, 0.5), RandomFlip(), ToArray()])
+        ds = PatchDataset(patch_tree, test, patch_size=32, transform=tf)
+        sample = ds.__getitem__(0, rng=np.random.default_rng(0))
+        assert sample["input"].min() >= -1.0 and sample["input"].max() <= 1.0
+        assert sample["label"].dtype == np.int64
+
+
+class TestTransforms:
+    def test_normalization(self):
+        data = {"input": np.full((4, 4, 3), 0.75, np.float32), "label": np.zeros((4, 4))}
+        out = Normalization(0.5, 0.5)(data, np.random.default_rng(0))
+        np.testing.assert_allclose(out["input"], 0.5)
+
+    def test_random_flip_consistency(self, rng):
+        inp = rng.random((8, 8, 3)).astype(np.float32)
+        lab = rng.integers(0, 2, (8, 8)).astype(np.uint8)
+        for seed in range(8):
+            data = {"input": inp.copy(), "label": lab.copy()}
+            out = RandomFlip()(data, np.random.default_rng(seed))
+            # label and input must have been flipped the same way: the argmax
+            # positions of a marker channel track together
+            marker = np.zeros((8, 8, 3), np.float32)
+            marker[0, 0, 0] = 1.0
+            d2 = {"input": marker.copy(), "label": np.zeros((8, 8), np.uint8)}
+            d2["label"][0, 0] = 1
+            out2 = RandomFlip()(d2, np.random.default_rng(seed))
+            iy, ix = np.unravel_index(np.argmax(out2["input"][..., 0]), (8, 8))
+            ly, lx = np.unravel_index(np.argmax(out2["label"]), (8, 8))
+            assert (iy, ix) == (ly, lx)
+
+    def test_partial_non_tissue_2d_label(self, rng):
+        """Regression for the reference's 3-axis indexing bug on 2-D labels."""
+        hit = False
+        for seed in range(40):
+            data = {
+                "input": np.zeros((8, 8, 3), np.float32),
+                "label": np.ones((8, 8), np.uint8),
+            }
+            out = PartialNonTissue()(data, np.random.default_rng(seed))
+            if out["label"].sum() < 64:
+                hit = True
+                assert out["input"].max() > 0.9  # noise quadrant written
+        assert hit  # probability 1/4 per call; 40 draws make a miss ~1e-5
+
+
+class TestPatchLoader:
+    def test_batches_static_shape_with_padding(self, patch_tree):
+        test = construct_test(patch_tree, test_fold=1)
+        ds = PatchDataset(patch_tree, test, patch_size=32)
+        loader = PatchLoader(ds, batch_size=4, drop_last=False, num_workers=2)
+        batches = list(loader)
+        assert len(batches) == len(loader)
+        for b in batches:
+            assert b["input"].shape == (4, 32, 32, 3)
+            assert b["label"].shape == (4, 32, 32)
+        total_valid = sum(b["nvalid"] for b in batches)
+        assert total_valid == len(ds)
+        last = batches[-1]
+        if last["nvalid"] < 4:
+            assert np.all(last["label"][last["nvalid"]:] == PAD_LABEL)
+
+    def test_drop_last(self, patch_tree):
+        test = construct_test(patch_tree, test_fold=1)
+        ds = PatchDataset(patch_tree, test, patch_size=32)
+        loader = PatchLoader(ds, batch_size=4, drop_last=True)
+        assert len(loader) == len(ds) // 4
+        for b in loader:
+            assert b["nvalid"] == 4
+
+    def test_shuffle_is_epoch_dependent_and_deterministic(self, patch_tree):
+        test = construct_test(patch_tree, test_fold=1)
+        ds = PatchDataset(patch_tree, test, patch_size=32)
+        loader = PatchLoader(ds, batch_size=4, shuffle=True, seed=1)
+        loader.set_epoch(0)
+        ids_e0 = [i for b in loader for i in b["id"]]
+        ids_e0_again = [i for b in loader for i in b["id"]]
+        assert ids_e0 == ids_e0_again
+        loader.set_epoch(1)
+        ids_e1 = [i for b in loader for i in b["id"]]
+        assert ids_e0 != ids_e1
+        assert sorted(ids_e0) == sorted(ids_e1)
+
+    def test_sharded_device_put(self, patch_tree):
+        import jax
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        test = construct_test(patch_tree, test_fold=1)
+        ds = PatchDataset(patch_tree, test, patch_size=32)
+        devices = np.array(jax.devices()[:4])
+        mesh = Mesh(devices, ("data",))
+        sharding = NamedSharding(mesh, P("data"))
+        loader = PatchLoader(ds, batch_size=4, drop_last=True, sharding=sharding)
+        b = next(iter(loader))
+        assert isinstance(b["input"], jax.Array)
+        assert b["input"].sharding.is_equivalent_to(sharding, ndim=4)
