@@ -1,0 +1,9 @@
+"""Device-mesh parallelism: the TPU replacement for torch DataParallel."""
+
+from .mesh import (  # noqa: F401
+    batch_sharding,
+    make_mesh,
+    replicate,
+    replicated_sharding,
+    shard_batch,
+)

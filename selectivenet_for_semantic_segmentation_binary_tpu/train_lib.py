@@ -1,0 +1,441 @@
+"""Training driver: jitted data-parallel train/eval steps + the epoch loop.
+
+TPU-first re-design of reference train.py:57-357:
+
+* ONE jitted ``train_step`` holds the entire per-batch computation — forward,
+  composite selective loss, backward, optimizer update, prediction
+  thresholding, confusion-matrix counting and rejection tallies. The reference
+  instead syncs output/input/label to host numpy every batch for thresholding
+  and metrics (train.py:211-239); here only a handful of scalars and one (C,C)
+  count matrix leave the device per step, asynchronously (SURVEY.md §7 risk 6).
+* Parallelism: params replicated / batch sharded over a 1-D mesh (see
+  parallel/mesh.py). Because the loss is computed on the *global* logical
+  array, the selective coverage mean and BN batch statistics are global-batch
+  quantities and the objective matches the reference's gathered-batch
+  DataParallel semantics on any mesh size.
+* The learning rate enters as a traced scalar, so host-side schedulers (incl.
+  ReduceLROnPlateau) never recompile.
+* Epoch flow, logging surface (TB scalars lr/loss/accuracy[/aux loss/
+  selection loss/rejection ratio], first-5 image panels), stdout lines,
+  per-epoch checkpointing with digit-sorted auto-resume all mirror the
+  reference (train.py:158-357).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from .config import TrainConfig
+from .data import (
+    Compose,
+    Normalization,
+    PatchDataset,
+    PatchLoader,
+    RandomFlip,
+    ToArray,
+    construct_train_valid,
+)
+from .models import build_model
+from .ops import (
+    bce_with_logits,
+    selective_risk_b,
+    selective_risk_ce,
+    softmax_cross_entropy,
+)
+from .ops.confusion import confusion_matrix_update
+from .optim import build_optimizer, build_scheduler
+from .parallel.mesh import batch_sharding, make_mesh, replicate
+from .utils.checkpoint import (
+    latest_checkpoint,
+    load_checkpoint,
+    load_net_checkpoint,
+    save_checkpoint,
+)
+from .utils.metrics import Evaluator
+from .utils.tb_writer import SummaryWriter
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+# ---------------------------------------------------------------------------
+# step construction
+# ---------------------------------------------------------------------------
+
+def _predictions(cfg, output, selection):
+    """Threshold logits into class maps, on device (reference train.py:216-236).
+
+    BCE path ('NHW' outputs): optional sigmoid rescale then > 0.5.
+    CE path (NHWC outputs): argmax over the class axis.
+    """
+    if output.ndim == 3:  # binary logits
+        prob = jax.nn.sigmoid(output) if cfg.output_scale == "sigmoid" else output
+        pred = (prob > 0.5).astype(jnp.int32)
+    else:
+        pred = jnp.argmax(output, axis=-1).astype(jnp.int32)
+
+    sel_mask = None
+    if selection is not None:
+        if selection.ndim == 3:
+            s = jax.nn.sigmoid(selection) if cfg.output_scale == "sigmoid" else selection
+            sel_mask = (s > 0.5).astype(jnp.int32)
+        else:
+            sel_mask = jnp.argmax(selection, axis=-1).astype(jnp.int32)
+    return pred, sel_mask
+
+
+def _losses(cfg, outputs, label):
+    """Composite objective (reference train.py:193-204)."""
+    use_bce = "BCE" in cfg.loss
+    if cfg.selective:
+        output, selection, aux = outputs
+        if use_bce:
+            aux_loss = bce_with_logits(aux, label)
+            sel_loss, coverage = selective_risk_b(
+                output, selection, label,
+                target_coverage=cfg.target_coverage, lamb=cfg.s_lamb,
+            )
+        else:
+            aux_loss = softmax_cross_entropy(aux, label)
+            sel_loss, coverage = selective_risk_ce(
+                output, selection, label,
+                target_coverage=cfg.target_coverage, lamb=cfg.s_lamb,
+            )
+        return aux_loss + sel_loss, {
+            "aux_loss": aux_loss, "sel_loss": sel_loss, "coverage": coverage,
+        }, output, selection
+    output = outputs
+    loss = bce_with_logits(output, label) if use_bce else softmax_cross_entropy(output, label)
+    return loss, {}, output, None
+
+
+def _batch_metrics(cfg, label_int, pred, sel_mask):
+    """On-device confusion matrix + rejection tallies."""
+    cm = confusion_matrix_update(label_int, pred, cfg.n_cls, sel_mask)
+    valid = ((label_int >= 0) & (label_int < cfg.n_cls)).astype(jnp.int32)
+    n_valid = jnp.sum(valid)
+    metrics = {"cm": cm, "n_pix": n_valid}
+    if sel_mask is not None:
+        metrics["n_reject"] = n_valid - jnp.sum(sel_mask * valid)
+    return metrics
+
+
+def make_train_step(model, cfg: TrainConfig, tx) -> Callable:
+    """Build the jitted (state, batch, lr, rng) -> (state, metrics) step."""
+    use_bce = "BCE" in cfg.loss
+
+    def step(state: TrainState, batch, lr, rng):
+        x = batch["input"]
+        label_int = batch["label"].astype(jnp.int32)
+        label = label_int.astype(jnp.float32) if use_bce else label_int
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            rngs = {"dropout": rng} if cfg.dropout_rate > 0 else None
+            outputs, mutated = model.apply(
+                variables, x, train=True, mutable=["batch_stats"], rngs=rngs
+            )
+            loss, extras, output, selection = _losses(cfg, outputs, label)
+            return loss, (mutated["batch_stats"], extras, output, selection)
+
+        (loss, (new_stats, extras, output, selection)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
+        new_params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
+
+        pred, sel_mask = _predictions(cfg, output, selection)
+        metrics = {"loss": loss, **extras, **_batch_metrics(cfg, label_int, pred, sel_mask)}
+        if cfg.log_img:
+            metrics["pred"] = pred
+            if sel_mask is not None:
+                metrics["selection"] = sel_mask
+
+        new_state = TrainState(
+            params=new_params, batch_stats=new_stats, opt_state=new_opt_state
+        )
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_valid_step(model, cfg: TrainConfig) -> Callable:
+    """Validation step: eval-mode forward (running BN stats) + loss + metrics
+    (reference train.py:275-331)."""
+    use_bce = "BCE" in cfg.loss
+
+    def step(state: TrainState, batch):
+        x = batch["input"]
+        label_int = batch["label"].astype(jnp.int32)
+        label = label_int.astype(jnp.float32) if use_bce else label_int
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        outputs = model.apply(variables, x, train=False)
+        loss, extras, output, selection = _losses(cfg, outputs, label)
+        pred, sel_mask = _predictions(cfg, output, selection)
+        return {"loss": loss, **extras, **_batch_metrics(cfg, label_int, pred, sel_mask)}
+
+    return jax.jit(step)
+
+
+# ---------------------------------------------------------------------------
+# state creation / restore
+# ---------------------------------------------------------------------------
+
+def create_state(cfg: TrainConfig, model, tx, rng) -> TrainState:
+    sample = jnp.zeros((1, cfg.patch_size, cfg.patch_size, cfg.input_channels), jnp.float32)
+    variables = model.init(rng, sample, train=False)
+    return TrainState(
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+    )
+
+
+def restore_if_available(cfg: TrainConfig, state: TrainState) -> Tuple[TrainState, int]:
+    """Auto-resume from the digit-latest checkpoint (reference train.py:111-129).
+
+    Like the reference, only the network (params + BN stats) is restored by
+    default; optimizer restore is opt-in via cfg.restore_optim.
+    """
+    found = latest_checkpoint(cfg.ckpt_dir)
+    if found is None:
+        return state, 0
+    path, epoch = found
+    if path.endswith(".pth"):
+        net = load_net_checkpoint(path)
+        state = state.replace(params=net["params"], batch_stats=net["batch_stats"])
+    else:
+        ckpt = load_checkpoint(path)
+        state = state.replace(
+            params=ckpt["net"]["params"], batch_stats=ckpt["net"]["batch_stats"]
+        )
+        if cfg.restore_optim and "optim" in ckpt:
+            from flax import serialization
+
+            state = state.replace(
+                opt_state=serialization.from_state_dict(state.opt_state, ckpt["optim"])
+            )
+    print(f"Load weights from {path}")
+    return state, epoch
+
+
+# ---------------------------------------------------------------------------
+# epoch loop
+# ---------------------------------------------------------------------------
+
+@dataclass
+class EpochStats:
+    loss: float
+    acc: float
+    aux_loss: Optional[float] = None
+    sel_loss: Optional[float] = None
+    rejection: Optional[float] = None
+    patches: int = 0
+    seconds: float = 0.0
+
+    @property
+    def patches_per_sec(self) -> float:
+        return self.patches / self.seconds if self.seconds > 0 else 0.0
+
+
+def _run_epoch(cfg, loader, step_fn, state, lr, rng, train: bool):
+    """One pass over a loader; returns (state, EpochStats, last_batch, last_metrics)."""
+    evaluator = Evaluator(cfg.n_cls, selective=cfg.selective)
+    device_metrics = []
+    cm_total = None
+    t0 = time.perf_counter()
+    patches = 0
+    last_batch = last_metrics = None
+
+    for i, batch in enumerate(loader):
+        device_batch = {"input": batch["input"], "label": batch["label"]}
+        if train:
+            rng, sub = jax.random.split(rng)
+            state, metrics = step_fn(state, device_batch, lr, sub)
+        else:
+            metrics = step_fn(state, device_batch)
+        cm = metrics.pop("cm")
+        cm_total = cm if cm_total is None else cm_total + cm
+        pred_imgs = {k: metrics.pop(k) for k in ("pred", "selection") if k in metrics}
+        device_metrics.append(metrics)
+        patches += batch["nvalid"]
+        last_batch, last_metrics = batch, {**metrics, **pred_imgs}
+
+    # single host sync per epoch
+    if device_metrics:
+        host = jax.device_get(device_metrics)
+        evaluator.add_confusion_matrix(jax.device_get(cm_total))
+    else:
+        host = []
+    seconds = time.perf_counter() - t0
+
+    losses = [float(m["loss"]) for m in host]
+    stats = EpochStats(
+        loss=float(np.mean(losses)) if losses else float("nan"),
+        acc=evaluator.get_Pixel_Accuracy() if evaluator.confusion_matrix.sum() else float("nan"),
+        patches=patches,
+        seconds=seconds,
+    )
+    if cfg.selective and host:
+        stats.aux_loss = float(np.mean([float(m["aux_loss"]) for m in host]))
+        stats.sel_loss = float(np.mean([float(m["sel_loss"]) for m in host]))
+        total_pix = sum(int(m["n_pix"]) for m in host)
+        total_rej = sum(int(m["n_reject"]) for m in host)
+        stats.rejection = total_rej / total_pix if total_pix else float("nan")
+    return state, stats, last_batch, last_metrics
+
+
+def _log_epoch_images(writer, cfg, batch, metrics, epoch):
+    """First-5 input/label/pred(/selection) panels (reference train.py:266-271)."""
+    inp = np.asarray(jax.device_get(batch["input"]))[:5]
+    inp = inp * 0.5 + 0.5  # denormalize (train.py:139)
+    label = np.asarray(jax.device_get(batch["label"]))[:5]
+    writer.add_images("input", inp, epoch)
+    writer.add_images("label", np.expand_dims((label * 255).astype(np.uint8), -1), epoch)
+    if "pred" in metrics:
+        pred = np.asarray(jax.device_get(metrics["pred"]))[:5]
+        writer.add_images("pred", np.expand_dims((pred * 255).astype(np.uint8), -1), epoch)
+    if "selection" in metrics:
+        sel = np.asarray(jax.device_get(metrics["selection"]))[:5]
+        writer.add_images("selection", np.expand_dims((sel * 255).astype(np.uint8), -1), epoch)
+
+
+def make_loaders(cfg: TrainConfig, mesh) -> Tuple[PatchLoader, PatchLoader]:
+    """Fold lists + datasets + sharded loaders (reference train.py:367-381)."""
+    train_list, valid_list = construct_train_valid(cfg.data_dir, test_fold=cfg.fold,
+                                                   seed=cfg.seed)
+    tf_train = Compose([Normalization(0.5, 0.5), RandomFlip(), ToArray()])
+    tf_valid = Compose([Normalization(0.5, 0.5), ToArray()])
+    ds_train = PatchDataset(cfg.data_dir, train_list, cfg.patch_mag, cfg.patch_size,
+                            cfg.input_type, transform=tf_train)
+    ds_valid = PatchDataset(cfg.data_dir, valid_list, cfg.patch_mag, cfg.patch_size,
+                            cfg.input_type, transform=tf_valid)
+    sharding = batch_sharding(mesh)
+    loader_train = PatchLoader(ds_train, cfg.batch_size, shuffle=True,
+                               num_workers=cfg.num_workers, drop_last=cfg.drop_last,
+                               seed=cfg.seed, sharding=sharding)
+    loader_valid = PatchLoader(ds_valid, cfg.batch_size, shuffle=False,
+                               num_workers=cfg.num_workers, drop_last=False,
+                               seed=cfg.seed, sharding=sharding)
+    return loader_train, loader_valid
+
+
+def train(cfg: TrainConfig, loaders=None, verbose: bool = True) -> Dict[str, Any]:
+    """Full training run (reference train.py:57-357). Returns final stats."""
+    mesh = make_mesh(cfg.n_devices)
+    if cfg.batch_size % mesh.devices.size != 0:
+        raise ValueError(
+            f"batch_size {cfg.batch_size} must be divisible by the mesh size "
+            f"{mesh.devices.size}"
+        )
+
+    model = build_model(cfg.model_arch, cfg.n_cls, cfg.selective,
+                        cfg.compute_dtype, cfg.dropout_rate)
+    tx = build_optimizer(cfg)
+    rng = jax.random.PRNGKey(cfg.seed)
+    rng, init_rng = jax.random.split(rng)
+    state = create_state(cfg, model, tx, init_rng)
+    state, start_epoch = restore_if_available(cfg, state)
+    state = replicate(state, mesh)
+
+    scheduler = build_scheduler(cfg)
+    for _ in range(start_epoch):  # fast-forward epoch-indexed schedules on resume
+        if cfg.lr_sche in ("StepLR", "CosineAnnealingLR"):
+            scheduler.step()
+
+    train_step = make_train_step(model, cfg, tx)
+    valid_step = make_valid_step(model, cfg)
+
+    if loaders is None:
+        loaders = make_loaders(cfg, mesh)
+    loader_train, loader_valid = loaders
+
+    writer_train = SummaryWriter(f"{cfg.log_dir}/train")
+    writer_valid = SummaryWriter(f"{cfg.log_dir}/valid")
+
+    final: Dict[str, Any] = {}
+    for epoch in range(start_epoch + 1, start_epoch + cfg.n_epoch + 1):
+        current_lr = scheduler.lr
+        writer_train.add_scalar("lr", current_lr, epoch)
+        if verbose:
+            print(f"epoch {epoch} / {start_epoch + cfg.n_epoch}, learning rate {current_lr}")
+
+        if hasattr(loader_train, "set_epoch"):
+            loader_train.set_epoch(epoch)
+        rng, epoch_rng = jax.random.split(rng)
+        state, tr, tr_batch, tr_metrics = _run_epoch(
+            cfg, loader_train, train_step, state, current_lr, epoch_rng, train=True
+        )
+
+        if cfg.lr_sche is not None:
+            scheduler.step(tr.loss if cfg.lr_sche == "ReduceLR" else None)
+
+        writer_train.add_scalar("loss", tr.loss, epoch)
+        writer_train.add_scalar("accuracy", tr.acc, epoch)
+        if cfg.selective:
+            writer_train.add_scalar("aux loss", tr.aux_loss, epoch)
+            writer_train.add_scalar("selection loss", tr.sel_loss, epoch)
+            writer_train.add_scalar("rejection ratio", tr.rejection, epoch)
+        if cfg.log_img and tr_batch is not None:
+            _log_epoch_images(writer_train, cfg, tr_batch, tr_metrics, epoch)
+
+        _, va, _, _ = _run_epoch(
+            cfg, loader_valid, valid_step, state, current_lr, rng, train=False
+        )
+        writer_valid.add_scalar("loss", va.loss, epoch)
+        writer_valid.add_scalar("accuracy", va.acc, epoch)
+        if cfg.selective:
+            writer_valid.add_scalar("aux loss", va.aux_loss, epoch)
+            writer_valid.add_scalar("selection loss", va.sel_loss, epoch)
+            writer_valid.add_scalar("rejection ratio", va.rejection, epoch)
+
+        if verbose:
+            print(
+                "train_loss %.05f train_acc %.04f | valid_loss %.05f valid_acc %.04f"
+                % (tr.loss, tr.acc, va.loss, va.acc)
+            )
+            if cfg.selective:
+                print(
+                    "train_aux_loss %.05f | train_select_loss %.05f | train_rejection %.03f"
+                    % (tr.aux_loss, tr.sel_loss, tr.rejection)
+                )
+                print(
+                    "valid_aux_loss %.05f | valid_select_loss %.05f | valid_rejection %.03f"
+                    % (va.aux_loss, va.sel_loss, va.rejection)
+                )
+
+        host_state = jax.device_get(state)
+        save_checkpoint(
+            cfg.ckpt_dir,
+            {
+                "net": {"params": host_state.params, "batch_stats": host_state.batch_stats},
+                "optim": _opt_state_dict(host_state.opt_state),
+                "scheduler": scheduler.state_dict(),
+                "epoch": epoch,
+            },
+            epoch,
+        )
+        final = {"epoch": epoch, "train": tr, "valid": va, "state": state}
+
+    writer_train.close()
+    writer_valid.close()
+    return final
+
+
+def _opt_state_dict(opt_state):
+    from flax import serialization
+
+    return serialization.to_state_dict(opt_state)

@@ -1,0 +1,191 @@
+"""Epoch checkpointing with auto-resume and torch-.pth interchange.
+
+Layout parity with the reference (train.py:385, net_utils.py:5-9, README):
+
+    {model_dir}/{fold}-fold/checkpoint/model_epoch{N}.ckpt
+    {model_dir}/{fold}-fold/log/{train,valid}
+
+* one file per epoch, every epoch kept (no retention policy, matching the
+  reference);
+* resume picks the latest file by the digits in its name (net_utils.py:24) —
+  "resume = rerun the same command" UX is preserved;
+* like the reference, the optimizer state is saved but NOT restored by
+  default (reference train.py:126 deliberately comments the restore out);
+  pass restore_optim=True for the full restore net_train_load would do.
+
+Format: flax msgpack of the numpy-fied state pytree — self-contained, no
+orbax server processes, safe to read on any host.
+
+Interchange: ``import_torch_checkpoint`` maps a reference ``model_epoch{N}.pth``
+state-dict onto this framework's {params, batch_stats} pytree (OIHW->HWIO
+kernels, spatially flipped transposed-conv kernels, BN running stats), and
+tolerates the ``module.`` prefix torch DataParallel injects (net_utils.py:11-16),
+so models trained with the reference evaluate here bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+from flax import serialization
+
+
+# ---------------------------------------------------------------------------
+# native save / load / resume
+# ---------------------------------------------------------------------------
+
+def _to_numpy(tree):
+    import jax
+
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(ckpt_dir: str, state: Dict[str, Any], epoch: int) -> str:
+    """Serialize {'net': ..., 'optim': ..., ...} to model_epoch{N}.ckpt
+    (counterpart of net_save, net_utils.py:5-9)."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    path = os.path.join(ckpt_dir, f"model_epoch{epoch}.ckpt")
+    payload = serialization.msgpack_serialize(_to_numpy(state))
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(payload)
+    os.replace(tmp, path)  # atomic: a crashing save never corrupts resume
+    return path
+
+
+def load_checkpoint(path: str) -> Dict[str, Any]:
+    with open(path, "rb") as f:
+        return serialization.msgpack_restore(f.read())
+
+
+def _epoch_of(filename: str) -> int:
+    digits = "".join(re.findall(r"\d+", filename))
+    return int(digits) if digits else -1
+
+
+def latest_checkpoint(ckpt_dir: str) -> Optional[Tuple[str, int]]:
+    """Newest checkpoint by digit-sorted filename (net_utils.py:18-24), or None.
+
+    Accepts both native .ckpt files and reference .pth files so a model
+    directory produced by the reference resumes/evaluates directly.
+    """
+    if not os.path.isdir(ckpt_dir):
+        return None
+    files = [f for f in os.listdir(ckpt_dir) if f.endswith((".ckpt", ".pth"))]
+    if not files:
+        return None
+    files.sort(key=_epoch_of)
+    name = files[-1]
+    return os.path.join(ckpt_dir, name), _epoch_of(name)
+
+
+def list_checkpoints(ckpt_dir: str):
+    """All checkpoint files sorted by name (eval.py:116 discovers every .pth)."""
+    if not os.path.isdir(ckpt_dir):
+        return []
+    return sorted(
+        os.path.join(ckpt_dir, f)
+        for f in os.listdir(ckpt_dir)
+        if f.endswith((".ckpt", ".pth"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# torch .pth interchange
+# ---------------------------------------------------------------------------
+
+# torch module name -> flax scope path inside the model (models/unet.py)
+_TRUNK_MAP = {
+    "encoder_layer_1_1": ("trunk", "enc1_1"),
+    "encoder_layer_1_2": ("trunk", "enc1_2"),
+    "encoder_layer_2_1": ("trunk", "enc2_1"),
+    "encoder_layer_2_2": ("trunk", "enc2_2"),
+    "encoder_layer_3_1": ("trunk", "enc3_1"),
+    "encoder_layer_3_2": ("trunk", "enc3_2"),
+    "decoder_layer_4_2": ("trunk", "dec4_2"),
+    "decoder_layer_4_1": ("trunk", "dec4_1"),
+    "decoder_layer_3_2": ("trunk", "dec3_2"),
+    "decoder_layer_3_1": ("trunk", "dec3_1"),
+    "decoder_layer_2_2": ("trunk", "dec2_2"),
+    "decoder_layer_2_1": ("trunk", "dec2_1"),
+    "decoder_layer_1_2": ("trunk", "dec1_2"),
+    "decoder_layer_1_1": ("trunk", "dec1_1"),
+}
+_UPCONV_MAP = {
+    "unpool3": ("trunk", "unpool3"),
+    "unpool2": ("trunk", "unpool2"),
+    "unpool1": ("trunk", "unpool1"),
+}
+_HEAD_MAP = {
+    "conv1x1": ("conv1x1",),
+    "conv_select": ("conv_select",),
+    "conv_aux": ("conv_aux",),
+}
+
+
+def remove_module_prefix(state_dict: Dict[str, Any]) -> Dict[str, Any]:
+    """Strip torch DataParallel's 'module.' prefix (net_utils.py:11-16)."""
+    return {k.replace("module.", ""): v for k, v in state_dict.items()}
+
+
+def _set(tree: dict, path, value) -> None:
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def torch_state_dict_to_variables(state_dict: Dict[str, Any]) -> Dict[str, Any]:
+    """Map a reference model state-dict (model.py layer names) onto
+    {'params': ..., 'batch_stats': ...} numpy pytrees."""
+    sd = {k: np.asarray(v) for k, v in remove_module_prefix(state_dict).items()}
+    params: dict = {}
+    stats: dict = {}
+
+    for tname, path in _TRUNK_MAP.items():
+        # CBR block: .0 = conv, .1 = batchnorm (model.py:9-15)
+        w = sd[f"{tname}.0.weight"]  # OIHW
+        _set(params, path + ("conv", "kernel"), w.transpose(2, 3, 1, 0))
+        _set(params, path + ("conv", "bias"), sd[f"{tname}.0.bias"])
+        _set(params, path + ("bn", "scale"), sd[f"{tname}.1.weight"])
+        _set(params, path + ("bn", "bias"), sd[f"{tname}.1.bias"])
+        _set(stats, path + ("bn", "mean"), sd[f"{tname}.1.running_mean"])
+        _set(stats, path + ("bn", "var"), sd[f"{tname}.1.running_var"])
+
+    for tname, path in _UPCONV_MAP.items():
+        w = sd[f"{tname}.weight"]  # torch convT: (in, out, kh, kw)
+        # flax ConvTranspose kernel (kh, kw, in, out) equals torch's with the
+        # spatial taps flipped (verified in tests/test_model.py)
+        _set(params, path + ("convt", "kernel"), w.transpose(2, 3, 0, 1)[::-1, ::-1].copy())
+        _set(params, path + ("convt", "bias"), sd[f"{tname}.bias"])
+
+    for tname, path in _HEAD_MAP.items():
+        if f"{tname}.weight" not in sd:
+            continue  # non-selective checkpoints have no select/aux heads
+        w = sd[f"{tname}.weight"]
+        _set(params, path + ("conv", "kernel"), w.transpose(2, 3, 1, 0))
+        _set(params, path + ("conv", "bias"), sd[f"{tname}.bias"])
+
+    return {"params": params, "batch_stats": stats}
+
+
+def import_torch_checkpoint(path: str) -> Dict[str, Any]:
+    """Load a reference .pth and return {'params', 'batch_stats'} pytrees."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    net = ckpt["net"] if isinstance(ckpt, dict) and "net" in ckpt else ckpt
+    net = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in net.items()}
+    return torch_state_dict_to_variables(net)
+
+
+def load_net_checkpoint(path: str) -> Dict[str, Any]:
+    """Dispatch on extension: native .ckpt or reference .pth -> variables dict
+    {'params', 'batch_stats'}."""
+    if path.endswith(".pth"):
+        return import_torch_checkpoint(path)
+    state = load_checkpoint(path)
+    return state["net"]

@@ -1,0 +1,177 @@
+"""Checkpoint tests: layout, digit-sorted resume, torch .pth interchange.
+
+The end-to-end interchange test builds a random reference-named torch
+state-dict, computes the reference forward with torch *functional* ops (the
+oracle), imports the state-dict through utils/checkpoint.py, and requires the
+JAX model to reproduce the output — this pins conv/convT layout mappings, BN
+stats, skip ordering and head naming all at once.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from selectivenet_for_semantic_segmentation_binary_tpu.models import UNetB
+from selectivenet_for_semantic_segmentation_binary_tpu.utils.checkpoint import (
+    latest_checkpoint,
+    list_checkpoints,
+    load_checkpoint,
+    remove_module_prefix,
+    save_checkpoint,
+    torch_state_dict_to_variables,
+)
+
+
+class TestNativeCheckpoint:
+    def test_save_load_roundtrip(self, tmp_path, rng):
+        state = {
+            "net": {"params": {"w": rng.standard_normal((3, 3)).astype(np.float32)}},
+            "epoch": 7,
+        }
+        path = save_checkpoint(str(tmp_path), state, 7)
+        assert path.endswith("model_epoch7.ckpt")
+        loaded = load_checkpoint(path)
+        np.testing.assert_array_equal(loaded["net"]["params"]["w"], state["net"]["params"]["w"])
+        assert loaded["epoch"] == 7
+
+    def test_latest_by_digits(self, tmp_path):
+        for e in [1, 2, 10, 9]:  # lexicographic would pick 9; digit sort must pick 10
+            save_checkpoint(str(tmp_path), {"epoch": e}, e)
+        path, epoch = latest_checkpoint(str(tmp_path))
+        assert epoch == 10
+        assert path.endswith("model_epoch10.ckpt")
+
+    def test_latest_none_when_missing(self, tmp_path):
+        assert latest_checkpoint(str(tmp_path / "nope")) is None
+
+    def test_list_checkpoints(self, tmp_path):
+        for e in [2, 1]:
+            save_checkpoint(str(tmp_path), {"epoch": e}, e)
+        paths = list_checkpoints(str(tmp_path))
+        assert len(paths) == 2
+        assert all(p.endswith(".ckpt") for p in paths)
+
+
+def _random_torch_state_dict(rng, input_ch=3, selective=True, prefix=""):
+    """Reference-named random state dict (names from reference model.py)."""
+    cbr_specs = {
+        "encoder_layer_1_1": (input_ch, 64), "encoder_layer_1_2": (64, 64),
+        "encoder_layer_2_1": (64, 128), "encoder_layer_2_2": (128, 128),
+        "encoder_layer_3_1": (128, 256), "encoder_layer_3_2": (256, 256),
+        "decoder_layer_4_2": (256, 512), "decoder_layer_4_1": (512, 512),
+        "decoder_layer_3_2": (512, 256), "decoder_layer_3_1": (256, 256),
+        "decoder_layer_2_2": (256, 128), "decoder_layer_2_1": (128, 128),
+        "decoder_layer_1_2": (128, 64), "decoder_layer_1_1": (64, 64),
+    }
+    up_specs = {"unpool3": (512, 256), "unpool2": (256, 128), "unpool1": (128, 64)}
+    head_specs = {"conv1x1": (64, 1)}
+    if selective:
+        head_specs.update({"conv_select": (64, 1), "conv_aux": (64, 1)})
+
+    sd = {}
+    f32 = lambda *s: (0.2 * rng.standard_normal(s)).astype(np.float32)
+    for name, (i, o) in cbr_specs.items():
+        # fan-in scaling keeps 20-layer activations O(1) so the fp32
+        # comparison tolerance is meaningful
+        sd[f"{prefix}{name}.0.weight"] = (
+            rng.standard_normal((o, i, 3, 3)) / np.sqrt(9 * i)
+        ).astype(np.float32)
+        sd[f"{prefix}{name}.0.bias"] = f32(o)
+        sd[f"{prefix}{name}.1.weight"] = 1.0 + 0.1 * f32(o)
+        sd[f"{prefix}{name}.1.bias"] = f32(o)
+        sd[f"{prefix}{name}.1.running_mean"] = f32(o)
+        sd[f"{prefix}{name}.1.running_var"] = (1.0 + 0.1 * f32(o)) ** 2
+    for name, (i, o) in up_specs.items():
+        sd[f"{prefix}{name}.weight"] = f32(i, o, 2, 2)
+        sd[f"{prefix}{name}.bias"] = f32(o)
+    for name, (i, o) in head_specs.items():
+        sd[f"{prefix}{name}.weight"] = f32(o, i, 1, 1)
+        sd[f"{prefix}{name}.bias"] = f32(o)
+    return sd
+
+
+def _torch_reference_forward(sd, x_nchw, selective=True):
+    """Reference UNet_B forward computed with torch functional ops only."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    t = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}
+
+    def cbr(x, name):
+        x = F.conv2d(x, t[f"{name}.0.weight"], t[f"{name}.0.bias"], padding=1)
+        x = F.batch_norm(
+            x, t[f"{name}.1.running_mean"], t[f"{name}.1.running_var"],
+            t[f"{name}.1.weight"], t[f"{name}.1.bias"], training=False, eps=1e-5,
+        )
+        return F.relu(x)
+
+    def up(x, name):
+        return F.conv_transpose2d(x, t[f"{name}.weight"], t[f"{name}.bias"], stride=2)
+
+    x = torch.from_numpy(x_nchw)
+    e1 = cbr(cbr(x, "encoder_layer_1_1"), "encoder_layer_1_2")
+    e2 = cbr(cbr(F.max_pool2d(e1, 2), "encoder_layer_2_1"), "encoder_layer_2_2")
+    e3 = cbr(cbr(F.max_pool2d(e2, 2), "encoder_layer_3_1"), "encoder_layer_3_2")
+    b = cbr(cbr(F.max_pool2d(e3, 2), "decoder_layer_4_2"), "decoder_layer_4_1")
+    d3 = cbr(cbr(torch.cat([up(b, "unpool3"), e3], 1), "decoder_layer_3_2"), "decoder_layer_3_1")
+    d2 = cbr(cbr(torch.cat([up(d3, "unpool2"), e2], 1), "decoder_layer_2_2"), "decoder_layer_2_1")
+    d1 = cbr(cbr(torch.cat([up(d2, "unpool1"), e1], 1), "decoder_layer_1_2"), "decoder_layer_1_1")
+
+    def head(name):
+        return F.conv2d(d1, t[f"{name}.weight"], t[f"{name}.bias"]).squeeze(1).numpy()
+
+    if selective:
+        return head("conv1x1"), head("conv_select"), head("conv_aux")
+    return head("conv1x1")
+
+
+class TestTorchInterchange:
+    def test_remove_module_prefix(self, rng):
+        sd = {"module.conv1x1.weight": 1, "module.conv1x1.bias": 2}
+        out = remove_module_prefix(sd)
+        assert set(out) == {"conv1x1.weight", "conv1x1.bias"}
+
+    def test_forward_parity_selective(self, rng):
+        sd = _random_torch_state_dict(rng, selective=True)
+        variables = torch_state_dict_to_variables(sd)
+        model = UNetB(selective=True)
+        x = (0.5 * rng.standard_normal((1, 32, 32, 3))).astype(np.float32)
+        out, sel, aux = model.apply(
+            {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+            jnp.asarray(x), train=False,
+        )
+        t_out, t_sel, t_aux = _torch_reference_forward(sd, x.transpose(0, 3, 1, 2), True)
+        np.testing.assert_allclose(np.asarray(out), t_out, rtol=1e-3, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(sel), t_sel, rtol=1e-3, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(aux), t_aux, rtol=1e-3, atol=2e-3)
+
+    def test_forward_parity_dataparallel_prefix(self, rng):
+        """Checkpoints saved under DataParallel carry 'module.' prefixes
+        (net_utils.py:11-16); import must tolerate them."""
+        sd = _random_torch_state_dict(rng, selective=False, prefix="module.")
+        variables = torch_state_dict_to_variables(sd)
+        model = UNetB(selective=False)
+        x = (0.5 * rng.standard_normal((1, 32, 32, 3))).astype(np.float32)
+        out = model.apply(
+            {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+            jnp.asarray(x), train=False,
+        )
+        bare = {k.replace("module.", ""): v for k, v in sd.items()}
+        t_out = _torch_reference_forward(bare, x.transpose(0, 3, 1, 2), False)
+        np.testing.assert_allclose(np.asarray(out), t_out, rtol=1e-3, atol=2e-3)
+
+    def test_structure_matches_model_init(self, rng):
+        """Imported pytree must exactly match the model's own variable tree."""
+        sd = _random_torch_state_dict(rng, selective=True)
+        variables = torch_state_dict_to_variables(sd)
+        model = UNetB(selective=True)
+        ref = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)), train=False)
+
+        def paths(tree):
+            return {jax.tree_util.keystr(p) for p, _ in jax.tree_util.tree_leaves_with_path(tree)}
+
+        assert paths(variables["params"]) == paths(ref["params"])
+        assert paths(variables["batch_stats"]) == paths(ref["batch_stats"])

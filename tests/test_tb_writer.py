@@ -1,0 +1,93 @@
+"""TensorBoard event-writer tests: files must be readable by the stock
+TensorBoard/TF record reader with correct tags, steps, values and images."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from selectivenet_for_semantic_segmentation_binary_tpu.utils.tb_writer import (
+    SummaryWriter,
+    crc32c,
+    masked_crc32c,
+)
+
+
+class TestCRC32C:
+    def test_known_vectors(self):
+        # RFC 3720 / kernel test vectors for CRC32C (Castagnoli)
+        assert crc32c(b"") == 0x00000000
+        assert crc32c(b"a") == 0xC1D04330
+        assert crc32c(b"123456789") == 0xE3069283
+        assert crc32c(b"\x00" * 32) == 0x8A9136AA
+
+    def test_masking_is_invertible_shape(self):
+        m = masked_crc32c(b"123456789")
+        assert 0 <= m <= 0xFFFFFFFF
+
+
+def _read_events(log_dir):
+    """Parse events back with TF's reader (the stock TensorBoard loader)."""
+    tf = pytest.importorskip("tensorflow")
+    files = glob.glob(os.path.join(log_dir, "events.out.tfevents.*"))
+    assert len(files) == 1
+    events = []
+    for rec in tf.data.TFRecordDataset(files[0]):
+        ev = tf.compat.v1.Event()
+        ev.ParseFromString(rec.numpy())
+        events.append(ev)
+    return events
+
+
+class TestSummaryWriter:
+    def test_scalars_roundtrip(self, tmp_path):
+        d = str(tmp_path / "train")
+        with SummaryWriter(d) as w:
+            w.add_scalar("loss", 0.5, 1)
+            w.add_scalar("loss", 0.25, 2)
+            w.add_scalar("accuracy", 0.9, 2)
+        events = _read_events(d)
+        assert events[0].file_version == "brain.Event:2"
+        scalars = [
+            (e.step, v.tag, v.simple_value)
+            for e in events[1:]
+            for v in e.summary.value
+        ]
+        assert (1, "loss", 0.5) in [(s, t, round(v, 6)) for s, t, v in scalars]
+        assert (2, "loss", 0.25) in [(s, t, round(v, 6)) for s, t, v in scalars]
+        assert (2, "accuracy", pytest.approx(0.9)) in scalars
+
+    def test_images_roundtrip(self, tmp_path):
+        d = str(tmp_path / "imgs")
+        imgs = np.zeros((2, 8, 8, 3), np.float32)
+        imgs[0, :, :, 0] = 1.0
+        with SummaryWriter(d) as w:
+            w.add_images("input", imgs, 3)
+        events = _read_events(d)
+        vals = [v for e in events[1:] for v in e.summary.value]
+        assert {v.tag for v in vals} == {"input/0", "input/1"}
+        im = vals[0].image
+        assert im.height == 8 and im.width == 8 and im.colorspace == 3
+        from PIL import Image
+        import io
+
+        arr = np.asarray(Image.open(io.BytesIO(im.encoded_image_string)))
+        assert arr[0, 0, 0] == 255  # red channel of panel 0
+
+    def test_grayscale_image(self, tmp_path):
+        d = str(tmp_path / "gray")
+        imgs = np.ones((1, 4, 4, 1), np.uint8) * 128
+        with SummaryWriter(d) as w:
+            w.add_images("label", imgs, 1)
+        events = _read_events(d)
+        im = events[1].summary.value[0].image
+        assert im.colorspace == 1
+
+    def test_reference_log_layout(self, tmp_path):
+        """Reference layout: {model_dir}/{fold}-fold/log/{train,valid}."""
+        log_dir = tmp_path / "model" / "1-fold" / "log"
+        for sub in ("train", "valid"):
+            with SummaryWriter(str(log_dir / sub)) as w:
+                w.add_scalar("lr", 1e-3, 1)
+        assert (log_dir / "train").is_dir() and (log_dir / "valid").is_dir()

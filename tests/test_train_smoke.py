@@ -1,0 +1,101 @@
+"""End-to-end training smoke tests on a synthetic patch tree.
+
+Covers: full train() driver (loaders -> jitted steps -> TB logs -> checkpoints),
+reference checkpoint/log directory layout, digit-sorted auto-resume, selective
+and plain modes, and learning signal (loss decreases / accuracy beats chance on
+the separable synthetic data).
+"""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from selectivenet_for_semantic_segmentation_binary_tpu.config import TrainConfig
+from selectivenet_for_semantic_segmentation_binary_tpu.data import write_synthetic_patch_tree
+from selectivenet_for_semantic_segmentation_binary_tpu.train_lib import train
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("smoke_data")
+    write_synthetic_patch_tree(str(d), n_slides=2, patches_per_slide=15, patch_size=32)
+    return str(d)
+
+
+def _cfg(data_dir, model_dir, **kw):
+    base = dict(
+        data_dir=data_dir,
+        model_dir=model_dir,
+        fold=1,
+        patch_size=32,
+        batch_size=8,
+        n_epoch=2,
+        model_arch="UNet_B",
+        loss="BCElogit",
+        selective=False,
+        compute_dtype="float32",
+        num_workers=2,
+        local_rank=[0, 1],  # 2-device mesh
+        log_img=True,
+    )
+    base.update(kw)
+    return TrainConfig(**base)
+
+
+class TestTrainSmoke:
+    def test_plain_bce_two_epochs(self, data_dir, tmp_path):
+        cfg = _cfg(data_dir, str(tmp_path / "model"))
+        result = train(cfg, verbose=False)
+        assert result["epoch"] == 2
+        assert np.isfinite(result["train"].loss)
+        assert np.isfinite(result["valid"].loss)
+
+        # reference layout: {model_dir}/{fold}-fold/{checkpoint,log/{train,valid}}
+        root = tmp_path / "model" / "1-fold"
+        assert (root / "checkpoint" / "model_epoch1.ckpt").exists()
+        assert (root / "checkpoint" / "model_epoch2.ckpt").exists()
+        assert glob.glob(str(root / "log" / "train" / "events.out.tfevents.*"))
+        assert glob.glob(str(root / "log" / "valid" / "events.out.tfevents.*"))
+
+    def test_auto_resume_continues_epoch_numbering(self, data_dir, tmp_path):
+        cfg = _cfg(data_dir, str(tmp_path / "model"), n_epoch=1)
+        train(cfg, verbose=False)
+        train(cfg, verbose=False)  # same command again -> resumes from epoch 1
+        ckpts = os.listdir(str(tmp_path / "model" / "1-fold" / "checkpoint"))
+        assert "model_epoch1.ckpt" in ckpts and "model_epoch2.ckpt" in ckpts
+
+    def test_selective_training_and_signal(self, data_dir, tmp_path):
+        cfg = _cfg(
+            data_dir, str(tmp_path / "model"),
+            selective=True, s_lamb=2.0, n_epoch=4,
+        )
+        result = train(cfg, verbose=False)
+        tr = result["train"]
+        assert tr.aux_loss is not None and np.isfinite(tr.aux_loss)
+        assert tr.sel_loss is not None and np.isfinite(tr.sel_loss)
+        assert 0.0 <= tr.rejection <= 1.0
+        # separable synthetic data: accuracy should beat chance after 4 epochs
+        assert tr.acc > 0.6
+
+    def test_ce_unet_mode(self, data_dir, tmp_path):
+        cfg = _cfg(
+            data_dir, str(tmp_path / "model"),
+            model_arch="UNet", loss="CE", n_epoch=1,
+        )
+        result = train(cfg, verbose=False)
+        assert np.isfinite(result["train"].loss)
+
+    def test_scheduler_integration(self, data_dir, tmp_path):
+        cfg = _cfg(
+            data_dir, str(tmp_path / "model"),
+            lr_sche="StepLR", patience=1, factor=0.5, n_epoch=2,
+        )
+        result = train(cfg, verbose=False)
+        assert result["epoch"] == 2
+
+    def test_batch_not_divisible_by_mesh_raises(self, data_dir, tmp_path):
+        cfg = _cfg(data_dir, str(tmp_path / "model"), batch_size=7)
+        with pytest.raises(ValueError, match="divisible"):
+            train(cfg, verbose=False)
