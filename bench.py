@@ -1,0 +1,108 @@
+#!/usr/bin/env python3
+"""Benchmark: selective UNet_B training throughput, 256x256 patches/sec/chip.
+
+Measures the steady-state jitted data-parallel train step of the flagship
+configuration (UNet_B + SelectiveNet heads, BCElogit selective risk, Adam —
+the reference train.sh recipe) on whatever chips are visible, and prints ONE
+JSON line:
+
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+vs_baseline is measured throughput / REFERENCE_A100_PATCHES_PER_SEC, an
+estimate of the reference torch-DataParallel per-A100 throughput, since the
+reference publishes no throughput numbers (BASELINE.md): UNet_B fwd+bwd is
+~220 GFLOPs/patch (hand-counted from the layer dims of reference
+model.py:29-66); an A100 at TF32 peak 156 TFLOP/s with a realistic ~35%
+conv-net utilization sustains ~250 patches/s, and DataParallel's single-process
+gather + per-batch host numpy metrics loop (reference train.py:211-239) costs
+another ~20% => ~200 patches/s/chip. The BASELINE.json north star is >= 5x
+this per v5e chip.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_A100_PATCHES_PER_SEC = 200.0
+PATCH = 256
+WARMUP_STEPS = 3
+TIMED_STEPS = 20
+
+
+def build_step(batch_size: int):
+    from selectivenet_for_semantic_segmentation_binary_tpu.config import TrainConfig
+    from selectivenet_for_semantic_segmentation_binary_tpu.models import build_model
+    from selectivenet_for_semantic_segmentation_binary_tpu.optim import build_optimizer
+    from selectivenet_for_semantic_segmentation_binary_tpu.parallel.mesh import (
+        make_mesh,
+        replicate,
+        shard_batch,
+    )
+    from selectivenet_for_semantic_segmentation_binary_tpu.train_lib import (
+        create_state,
+        make_train_step,
+    )
+
+    cfg = TrainConfig(
+        model_arch="UNet_B", selective=True, loss="BCElogit", s_lamb=2.0,
+        patch_size=PATCH, batch_size=batch_size, compute_dtype="bfloat16",
+    )
+    mesh = make_mesh()
+    model = build_model(cfg.model_arch, cfg.n_cls, cfg.selective, cfg.compute_dtype)
+    tx = build_optimizer(cfg)
+    state = replicate(create_state(cfg, model, tx, jax.random.PRNGKey(0)), mesh)
+    step = make_train_step(model, cfg, tx)
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((batch_size, PATCH, PATCH, 3)).astype(np.float32)
+    y = (rng.random((batch_size, PATCH, PATCH)) > 0.7).astype(np.int32)
+    batch = shard_batch({"input": x, "label": y}, mesh)
+    return state, step, batch, mesh
+
+
+def run(batch_size: int) -> float:
+    state, step, batch, mesh = build_step(batch_size)
+    rng = jax.random.PRNGKey(0)
+    for _ in range(WARMUP_STEPS):
+        state, metrics = step(state, batch, 1e-3, rng)
+    # NOTE: a scalar D2H fetch, not block_until_ready — on the axon TPU tunnel
+    # block_until_ready returns before execution finishes; only a fetch forces
+    # the chain (each step's state is donated from the previous, so fetching
+    # the last loss synchronizes every timed step).
+    float(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(TIMED_STEPS):
+        state, metrics = step(state, batch, 1e-3, rng)
+    float(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    n_chips = mesh.devices.size
+    return (batch_size * TIMED_STEPS) / dt / n_chips
+
+
+def main() -> None:
+    per_chip = len(jax.devices())
+    value = None
+    for batch_size in (128 * per_chip, 64 * per_chip, 32 * per_chip, 8 * per_chip):
+        try:
+            value = run(batch_size)
+            break
+        except Exception as e:  # OOM on small chips: shrink the per-chip batch
+            last_err = e
+    if value is None:
+        raise last_err
+
+    print(json.dumps({
+        "metric": "train_patches_per_sec_per_chip_256px",
+        "value": round(value, 2),
+        "unit": "patches/s/chip",
+        "vs_baseline": round(value / REFERENCE_A100_PATCHES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,210 @@
+"""Evaluation driver: single model, ensemble, and selective in-coverage paths.
+
+Capability parity with reference eval.py:76-280, re-designed for TPU:
+
+* checkpoint discovery: every .ckpt/.pth in model_dir is loaded; one
+  model_arch entry is replicated across all checkpoints (eval.py:116-120);
+* single model: forward, optional 'sigmoid'/'clip'/'minmax' rescale, cut_off
+  threshold (eval.py:201-233);
+* ensemble (>1 checkpoint): instead of looping nets per batch on the host
+  (eval.py:209-222), the checkpoints are STACKED into one leading-axis pytree
+  and the forward is ``vmap``-ed over it — one XLA program computes all
+  members' outputs and their (optionally rescaled) mean on device. Selective
+  ensemble is unsupported exactly like the reference (eval.py:208);
+* selective in-coverage evaluation: selection thresholded at s_cut_off masks
+  the confusion matrix; rejection ratio reported (eval.py:235-247, 273-274);
+* metrics: confusion matrix, Acc, Acc_class, Precision, Recall, F1, mIoU,
+  IoU_class printed in the reference's format (eval.py:261-280).
+
+Everything per batch stays on device; only the (C, C) matrix and the reject
+counters come back to the host once per batch, asynchronously.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import EvalConfig
+from .data import Compose, Normalization, PatchDataset, PatchLoader, ToArray, construct_test
+from .models import build_model
+from .ops.confusion import confusion_matrix_update
+from .parallel.mesh import batch_sharding, make_mesh, replicate
+from .utils.checkpoint import list_checkpoints, load_net_checkpoint
+from .utils.metrics import Evaluator
+
+
+def _rescale(output: jax.Array, mode: str) -> jax.Array:
+    """'None' | 'clip' | 'sigmoid' | 'minmax' output rescaling
+    (reference eval.py:174-176)."""
+    if mode == "sigmoid":
+        return jax.nn.sigmoid(output)
+    if mode == "clip":
+        return jnp.clip(output, 0.0, 1.0)
+    if mode == "minmax":
+        lo, hi = jnp.min(output), jnp.max(output)
+        return (output - lo) / (hi - lo)
+    return output
+
+
+def load_models(cfg: EvalConfig):
+    """Discover + load all checkpoints; return (model, [variables...])
+    (reference eval.py:116-157)."""
+    paths = list_checkpoints(cfg.model_dir)
+    if not paths:
+        raise FileNotFoundError(f"no .ckpt/.pth checkpoints in {cfg.model_dir}")
+
+    arch_list = list(cfg.model_arch)
+    if len(paths) != 1 and len(arch_list) == 1:
+        arch_list = arch_list * len(paths)
+    assert len(arch_list) == len(paths), "model_arch count must match checkpoints"
+    assert len(set(arch_list)) == 1, "mixed architectures in one ensemble are unsupported"
+
+    model = build_model(arch_list[0], cfg.n_cls, cfg.selective, cfg.compute_dtype)
+    variables = [load_net_checkpoint(p) for p in paths]
+    if cfg.info_print:
+        for p, a in zip(paths, arch_list):
+            print(f"    {p} - {a} / SelectiveNet: {cfg.selective}")
+    return model, variables
+
+
+def make_eval_step(model, cfg: EvalConfig, n_models: int) -> Callable:
+    """Jitted (variables, batch) -> {cm, n_pix[, n_reject]} evaluation step."""
+    selective = cfg.selective
+    select_eval = cfg.select_eval
+    if n_models > 1 and selective:
+        raise ValueError("selective evaluation of an ensemble is unsupported "
+                         "(reference eval.py:208)")
+
+    def forward_single(variables, x):
+        out = model.apply(
+            {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+            x, train=False,
+        )
+        if selective:
+            output, selection, _aux = out
+            return output, selection
+        return out, None
+
+    def step(variables, batch):
+        x = batch["input"]
+        label = batch["label"].astype(jnp.int32)
+
+        if n_models == 1:
+            output, selection = forward_single(variables, x)
+            output = _rescale(output, cfg.single_scale) if output.ndim == 3 else output
+        else:
+            # stacked-params ensemble: vmap over the member axis, mean on device
+            outputs, _ = jax.vmap(lambda v: forward_single(v, x))(variables)
+            outputs = _rescale(outputs, cfg.ens_scale) if outputs.ndim == 4 else outputs
+            output = jnp.mean(outputs, axis=0)
+            selection = None
+
+        if output.ndim == 3:  # binary head: threshold at cut_off
+            pred = (output > cfg.cut_off).astype(jnp.int32)
+        else:
+            pred = jnp.argmax(output, axis=-1).astype(jnp.int32)
+
+        valid = ((label >= 0) & (label < cfg.n_cls)).astype(jnp.int32)
+        metrics: Dict[str, Any] = {"n_pix": jnp.sum(valid)}
+
+        sel_mask = None
+        if select_eval:
+            if selection is None:
+                raise ValueError("--select_eval 1 requires --selective 1 and a "
+                                 "selective checkpoint")
+            if selection.ndim == 3:
+                s = _rescale(selection, cfg.single_scale)
+                sel_mask = (s > cfg.s_cut_off).astype(jnp.int32)
+            else:
+                sel_mask = jnp.argmax(selection, axis=-1).astype(jnp.int32)
+            metrics["n_reject"] = metrics["n_pix"] - jnp.sum(sel_mask * valid)
+
+        metrics["cm"] = confusion_matrix_update(label, pred, cfg.n_cls, sel_mask)
+        return metrics
+
+    return jax.jit(step)
+
+
+def stack_variables(variables_list: List[Dict]) -> Dict:
+    """Stack N checkpoints' pytrees along a new leading axis for vmap."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *variables_list)
+
+
+def evaluate(cfg: EvalConfig, loader: Optional[PatchLoader] = None,
+             verbose: bool = True) -> Dict[str, Any]:
+    """Full evaluation (reference eval.py:76-280). Returns the metric dict."""
+    mesh = make_mesh(cfg.n_devices)
+    model, variables_list = load_models(cfg)
+    n_models = len(variables_list)
+
+    if n_models == 1:
+        variables = replicate(variables_list[0], mesh)
+    else:
+        variables = replicate(stack_variables(variables_list), mesh)
+
+    if loader is None:
+        test_list = construct_test(cfg.data_dir, test_fold=cfg.test_fold)
+        transform = Compose([Normalization(0.5, 0.5), ToArray()])
+        ds = PatchDataset(cfg.data_dir, test_list, cfg.patch_mag, cfg.patch_size,
+                          cfg.input_type, transform=transform)
+        loader = PatchLoader(ds, cfg.batch_size, shuffle=False,
+                             num_workers=cfg.num_workers, drop_last=False,
+                             seed=cfg.seed, sharding=batch_sharding(mesh))
+        if cfg.info_print:
+            print(f"Load Test Dataset ({cfg.test_fold}-fold)")
+            print(f"    patch mag: {cfg.patch_mag}")
+            print(f"    patch size: {cfg.patch_size}")
+            print(f"    batch size: {cfg.batch_size}")
+            print(f"    num workers: {cfg.num_workers}")
+            print("     # of test dataset", len(ds))
+
+    step = make_eval_step(model, cfg, n_models)
+    evaluator = Evaluator(num_class=cfg.n_cls, selective=cfg.select_eval)
+
+    cm_total = None
+    total_pix = 0
+    total_reject = 0
+    reject_metrics = []
+    for batch in loader:
+        metrics = step(variables, {"input": batch["input"], "label": batch["label"]})
+        cm_total = metrics["cm"] if cm_total is None else cm_total + metrics["cm"]
+        if cfg.select_eval:
+            reject_metrics.append((metrics["n_pix"], metrics["n_reject"]))
+
+    if cm_total is not None:
+        evaluator.add_confusion_matrix(jax.device_get(cm_total))
+    for n_pix, n_reject in jax.device_get(reject_metrics):
+        total_pix += int(n_pix)
+        total_reject += int(n_reject)
+
+    prec = evaluator.get_Precision()
+    recall = evaluator.get_Recall()
+    results = {
+        "confusion_matrix": evaluator.confusion_matrix.copy(),
+        "accuracy": evaluator.get_Pixel_Accuracy(),
+        "accuracy_class": evaluator.get_Pixel_Accuracy_Class(),
+        "precision": prec,
+        "recall": recall,
+        "f1_score": evaluator.get_F1_Score(prec, recall),
+        "mIoU": evaluator.get_mIoU(),
+        "IoU_class": evaluator.get_IoU_Class(),
+        "n_models": n_models,
+    }
+    if cfg.select_eval:
+        results["rejection_ratio"] = total_reject / total_pix if total_pix else float("nan")
+
+    if verbose:
+        print(evaluator.confusion_matrix)
+        if cfg.select_eval:
+            print(f"    rejection ratio: {round(results['rejection_ratio'], 3)}")
+        print(f"    Acc:{results['accuracy']}")
+        print(f"    Acc_class:{results['accuracy_class']}")
+        print(f"    Prec:{results['precision']}, Recall:{results['recall']}, "
+              f"F1_Score:{results['f1_score']}")
+        print(f"    mIoU:{results['mIoU']}")
+        print(f"    IoU_class:{results['IoU_class']}")
+    return results

@@ -31,11 +31,29 @@ parallel/mesh.py and tests/test_parallel.py.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 
 
-def bce_with_logits(logits: jax.Array, targets: jax.Array) -> jax.Array:
+def _masked_mean(x: jax.Array, mask: Optional[jax.Array]) -> jax.Array:
+    """Mean over all elements, or over mask==True elements when given.
+
+    The mask exists for the TPU static-shape batching scheme: partial final
+    batches are padded (data/loader.py) and padded pixels must not contribute
+    to the loss — the reference never needs this because torch allows ragged
+    final batches.
+    """
+    if mask is None:
+        return jnp.mean(x)
+    m = mask.astype(jnp.float32)
+    return jnp.sum(x * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def bce_with_logits(
+    logits: jax.Array, targets: jax.Array, mask: Optional[jax.Array] = None
+) -> jax.Array:
     """Mean binary cross-entropy on logits (== torch BCEWithLogitsLoss).
 
     Uses the max(x,0) - x*y + log1p(exp(-|x|)) stable form.
@@ -43,20 +61,28 @@ def bce_with_logits(logits: jax.Array, targets: jax.Array) -> jax.Array:
     x = logits.astype(jnp.float32)
     y = targets.astype(jnp.float32)
     per_elem = jnp.maximum(x, 0.0) - x * y + jnp.log1p(jnp.exp(-jnp.abs(x)))
-    return jnp.mean(per_elem)
+    return _masked_mean(per_elem, mask)
 
 
-def softmax_cross_entropy(logits: jax.Array, targets: jax.Array, class_axis: int = -1) -> jax.Array:
+def softmax_cross_entropy(
+    logits: jax.Array,
+    targets: jax.Array,
+    class_axis: int = -1,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
     """Mean softmax cross-entropy with integer targets (== torch CrossEntropyLoss).
 
     Args:
         logits: (..., C, ...) with the class dimension at ``class_axis``.
         targets: integer class indices with logits' shape minus the class axis.
+        mask: optional validity mask of targets' shape (padded pixels excluded).
     """
     logits = jnp.moveaxis(logits.astype(jnp.float32), class_axis, -1)
     logp = jax.nn.log_softmax(logits, axis=-1)
-    picked = jnp.take_along_axis(logp, targets[..., None].astype(jnp.int32), axis=-1)
-    return -jnp.mean(picked)
+    n_cls = logits.shape[-1]
+    safe_targets = jnp.clip(targets.astype(jnp.int32), 0, n_cls - 1)
+    picked = jnp.take_along_axis(logp, safe_targets[..., None], axis=-1)[..., 0]
+    return -_masked_mean(picked, mask)
 
 
 def make_one_hot(labels: jax.Array, num_classes: int) -> jax.Array:
@@ -78,6 +104,7 @@ def selective_risk_b(
     target_coverage: float = 0.8,
     lamb: float = 8.0,
     hard_selection: bool = False,
+    mask: Optional[jax.Array] = None,
 ):
     """SelectiveNet risk for binary segmentation with BCE (selective_loss.py:58-85).
 
@@ -93,8 +120,10 @@ def selective_risk_b(
     """
     x = output.astype(jnp.float32)
     y = target.astype(jnp.float32)
+    if mask is not None:
+        y = jnp.clip(y, 0.0, 1.0)  # padded labels carry PAD_LABEL; masked out below
     g = jax.nn.sigmoid(selection.astype(jnp.float32))
-    coverage = jnp.mean(g)
+    coverage = _masked_mean(g, mask)
 
     if hard_selection:
         # reference selective_loss.py:74-77: detach then binarize at 0.5
@@ -103,7 +132,7 @@ def selective_risk_b(
 
     # y*log(p) + (1-y)*log(1-p), stable: log p = log_sigmoid(x); log(1-p) = log_sigmoid(-x)
     log_lik = y * jax.nn.log_sigmoid(x) + (1.0 - y) * jax.nn.log_sigmoid(-x)
-    risk = -jnp.mean(log_lik * g) / coverage
+    risk = -_masked_mean(log_lik * g, mask) / coverage
     loss = risk + lamb * _coverage_constraint(coverage, target_coverage)
     return loss, coverage
 
@@ -115,6 +144,7 @@ def selective_risk_ce(
     target_coverage: float = 0.8,
     lamb: float = 8.0,
     hard_selection: bool = False,
+    mask: Optional[jax.Array] = None,
 ):
     """SelectiveNet risk for N-class segmentation with CE (selective_loss.py:24-56).
 
@@ -129,17 +159,19 @@ def selective_risk_ce(
     """
     f = output.astype(jnp.float32)
     if target.ndim == 3:
+        if mask is not None:
+            target = jnp.clip(target, 0, f.shape[-1] - 1)  # padded labels masked below
         target = make_one_hot(target, f.shape[-1])
     target = target.astype(jnp.float32)
 
     g = jax.nn.softmax(selection.astype(jnp.float32), axis=-1)[..., 1]
-    coverage = jnp.mean(g)
+    coverage = _masked_mean(g, mask)
 
     if hard_selection:
         g = jax.lax.stop_gradient((g > 0.5).astype(jnp.float32))
         coverage = jax.lax.stop_gradient(coverage)
 
     nll = jnp.sum(jax.nn.log_softmax(f, axis=-1) * target, axis=-1)  # (N,H,W)
-    risk = -jnp.mean(nll * g) / coverage
+    risk = -_masked_mean(nll * g, mask) / coverage
     loss = risk + lamb * _coverage_constraint(coverage, target_coverage)
     return loss, coverage

@@ -1,0 +1,140 @@
+"""Offline dataset tooling: fold-list generation, non-tissue mining, imbalance report.
+
+Turns the reference's notebook workbench into library functions + CLI:
+
+* ``build_fold_lists`` <- jupyters/tumor_label-based_data_split.ipynb cells 0-4:
+  pair ``*_input.jpg`` / ``*_label.png`` files, classify a patch *tumorable* iff
+  sum(label_png) > threshold_ratio * 255 * size^2 (default 10%), then 5-fold
+  KFold(shuffle=True, random_state=44) applied separately per class, saving
+  ``{i}-fold_{non_}tumorable_data.npy`` — the exact inputs
+  data/folds.py consumes.
+* ``mine_non_tissue`` <- jupyters/check_rgb_color_space.ipynb cell 10: harvest
+  patches whose mean intensity exceeds a whiteness threshold (default 243) as
+  extra all-zero-label negatives.
+* ``tumor_pixel_report`` <- jupyters/class_imbalance_visualization.ipynb: per-fold
+  tumor/benign pixel counts motivating the selective objective.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+
+def _paired_files(patch_dir: str) -> List[Tuple[str, str]]:
+    files = sorted(os.listdir(patch_dir))
+    inputs = [f for f in files if f.endswith("_input.jpg")]
+    pairs = []
+    for f in inputs:
+        label = f.replace("_input.jpg", "_label.png")
+        if os.path.exists(os.path.join(patch_dir, label)):
+            pairs.append((f, label))
+        else:
+            print(f"unpaired input dropped: {f}")
+    return pairs
+
+
+def _kfold_indices(n: int, n_splits: int, seed: int) -> List[np.ndarray]:
+    """sklearn-equivalent KFold(shuffle=True, random_state=seed) test folds.
+
+    Falls back to shuffled round-robin when a class has fewer samples than
+    folds (sklearn's KFold refuses; tiny synthetic datasets hit this)."""
+    if n == 0:
+        return [np.array([], dtype=int)] * n_splits
+    if n < n_splits:
+        perm = np.random.RandomState(seed).permutation(n)
+        return [perm[i::n_splits] for i in range(n_splits)]
+    from sklearn.model_selection import KFold
+
+    kf = KFold(n_splits=n_splits, shuffle=True, random_state=seed)
+    return [test for _, test in kf.split(np.arange(n))]
+
+
+def build_fold_lists(
+    data_dir: str,
+    patch_mag: int = 200,
+    patch_size: int = 256,
+    threshold_ratio: float = 0.1,
+    n_splits: int = 5,
+    seed: int = 44,
+    out_dir: Optional[str] = None,
+) -> Dict[str, int]:
+    """Generate the {i}-fold_{non_}tumorable_data.npy lists from a patch tree."""
+    patch_dir = os.path.join(data_dir, f"{patch_mag}x_{patch_size}")
+    out_dir = out_dir or data_dir
+    pairs = _paired_files(patch_dir)
+    if not pairs:
+        raise FileNotFoundError(f"no *_input.jpg/*_label.png pairs in {patch_dir}")
+
+    tumorable, non_tumorable = [], []
+    for inp, lab in pairs:
+        label = np.asarray(Image.open(os.path.join(patch_dir, lab)).convert("L"), np.int64)
+        # tumorable iff sum over the 0/255 mask exceeds 10% of full-tumor mass
+        # (tumor_label-based_data_split.ipynb cell 0)
+        if label.sum() > threshold_ratio * 255 * label.size:
+            tumorable.append((inp, lab))
+        else:
+            non_tumorable.append((inp, lab))
+
+    os.makedirs(out_dir, exist_ok=True)
+    for class_name, items in (("tumorable", tumorable), ("non_tumorable", non_tumorable)):
+        arr = np.array(items) if items else np.empty((0, 2), dtype="<U64")
+        folds = _kfold_indices(len(items), n_splits, seed) if items else [np.array([], int)] * n_splits
+        for i, idx in enumerate(folds):
+            np.save(
+                os.path.join(out_dir, f"{i + 1}-fold_{class_name}_data.npy"),
+                arr[idx] if len(items) else arr,
+            )
+    return {"tumorable": len(tumorable), "non_tumorable": len(non_tumorable)}
+
+
+def mine_non_tissue(
+    data_dir: str,
+    out_dir: str,
+    patch_mag: int = 200,
+    patch_size: int = 256,
+    whiteness_threshold: float = 243.0,
+) -> int:
+    """Copy near-white (background) patches to out_dir with all-zero labels
+    (check_rgb_color_space.ipynb cell 10). Returns the number mined."""
+    patch_dir = os.path.join(data_dir, f"{patch_mag}x_{patch_size}")
+    os.makedirs(out_dir, exist_ok=True)
+    mined = 0
+    for inp, _lab in _paired_files(patch_dir):
+        img = np.asarray(Image.open(os.path.join(patch_dir, inp)))
+        if img.mean() > whiteness_threshold:
+            Image.fromarray(img).save(os.path.join(out_dir, inp))
+            zero = np.zeros(img.shape[:2], np.uint8)
+            Image.fromarray(zero).save(
+                os.path.join(out_dir, inp.replace("_input.jpg", "_label.png"))
+            )
+            mined += 1
+    return mined
+
+
+def tumor_pixel_report(data_dir: str, patch_mag: int = 200, patch_size: int = 256,
+                       n_splits: int = 5) -> Dict[int, Dict[str, int]]:
+    """Per-fold tumor/benign pixel counts (class_imbalance_visualization.ipynb)."""
+    patch_dir = os.path.join(data_dir, f"{patch_mag}x_{patch_size}")
+    report: Dict[int, Dict[str, int]] = {}
+    for fold in range(1, n_splits + 1):
+        tumor_px = benign_px = 0
+        for class_name in ("tumorable", "non_tumorable"):
+            path = os.path.join(data_dir, f"{fold}-fold_{class_name}_data.npy")
+            if not os.path.exists(path):
+                continue
+            for _inp, lab in np.load(path):
+                label = np.asarray(Image.open(os.path.join(patch_dir, lab)).convert("L"))
+                t = int((label > 0).sum())
+                tumor_px += t
+                benign_px += label.size - t
+        total = tumor_px + benign_px
+        report[fold] = {
+            "tumor_pixels": tumor_px,
+            "benign_pixels": benign_px,
+            "tumor_ratio": tumor_px / total if total else 0.0,
+        }
+    return report

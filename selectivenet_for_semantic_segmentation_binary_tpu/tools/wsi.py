@@ -1,0 +1,157 @@
+"""WSI-level stitched inference, heatmaps, and CSV reporting.
+
+Library form of reference jupyters/u-net_testing.ipynb cells 4-8/64-74:
+
+* ``stitch_patches``: tile per-patch arrays into a whole-slide canvas with the
+  notebook's ``row = j % nrow, col = j // nrow`` convention (cell 7);
+* ``make_heatmap``: jet-colormap probability rendering (cell 7 make_heatmap);
+* ``wsi_inference``: batch all patches of one slide, forward on device, stitch
+  sample/label/pred/prob canvases, score per patch and per stitched WSI with
+  get_performance, nanmean summaries (cells 6-8) — also covers the
+  arbitrary-size single-tile path (cells 64-74) since the model is fully
+  convolutional;
+* ``save_performance_as_csv``: working replacement for the reference's broken
+  dead CSV helper (eval.py:67-74 uses an invalid multi-char delimiter and a
+  ``list.join`` misuse; this writes standard comma-separated rows).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.metrics import get_performance
+
+
+def stitch_patches(patches: np.ndarray, nrow: int) -> np.ndarray:
+    """(B, H, W[, C]) per-patch arrays -> (nrow*H, ncol*W[, C]) canvas.
+
+    Placement: patch j lands at row j % nrow, column j // nrow
+    (u-net_testing.ipynb cell 7).
+    """
+    patches = np.asarray(patches)
+    b, h, w = patches.shape[:3]
+    ncol = -(-b // nrow)
+    canvas = np.zeros((nrow * h, ncol * w) + patches.shape[3:], patches.dtype)
+    for j in range(b):
+        r, c = j % nrow, j // nrow
+        canvas[r * h : (r + 1) * h, c * w : (c + 1) * w] = patches[j]
+    return canvas
+
+
+def make_heatmap(output: np.ndarray) -> np.ndarray:
+    """Probability map -> jet RGB float32 (u-net_testing.ipynb cell 7)."""
+    from matplotlib import cm
+
+    return cm.jet(np.asarray(output))[..., :3].astype(np.float32)
+
+
+def save_performance_as_csv(save_dir: str, rows: Sequence[Sequence], csv_name: str,
+                            header: Optional[Sequence[str]] = None) -> str:
+    """Write performance rows to {save_dir}/{csv_name}.csv."""
+    os.makedirs(save_dir, exist_ok=True)
+    path = os.path.join(save_dir, f"{csv_name}.csv")
+    with open(path, "w", newline="") as f:
+        writer = csv.writer(f)
+        writer.writerow(header or ["accuracy", "recall", "precision", "f1 score", "AUC score"])
+        for row in rows:
+            writer.writerow(list(map(str, row)))
+    return path
+
+
+def _group_by_slide(ids: List[str]) -> Dict[str, List[int]]:
+    groups: Dict[str, List[int]] = {}
+    for i, pid in enumerate(ids):
+        slide = pid.rsplit("_", 2)[0]  # {slide_id}_{x}_{y}
+        groups.setdefault(slide, []).append(i)
+    return groups
+
+
+def wsi_inference(
+    model,
+    variables: Dict,
+    dataset,
+    nrow: int,
+    selective: bool = False,
+    cut_off: float = 0.5,
+    batch_size: int = 32,
+    save_dir: Optional[str] = None,
+) -> Dict[str, Dict]:
+    """Stitched whole-slide inference + per-patch / per-WSI scoring.
+
+    Args:
+        dataset: a PatchDataset whose ids follow {slide_id}_{x}_{y}; every
+            patch of a slide is stitched into one canvas of ``nrow`` rows.
+    Returns:
+        {slide_id: {"prob", "pred", "label", "sample", "heatmap",
+                    "patch_scores", "wsi_score"}}
+    """
+    @jax.jit
+    def forward(x):
+        out = model.apply(
+            {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+            x, train=False,
+        )
+        if selective:
+            out = out[0]
+        return jax.nn.sigmoid(out) if out.ndim == 3 else jax.nn.softmax(out, -1)[..., 1]
+
+    ids = [dataset[i]["id"] for i in range(len(dataset))]
+    results: Dict[str, Dict] = {}
+    for slide, indices in _group_by_slide(ids).items():
+        samples = [dataset[i] for i in indices]
+        inputs = np.stack([s["input"] for s in samples])
+        labels = np.stack([s["label"] for s in samples])
+        normed = (inputs - 0.5) / 0.5
+
+        probs = []
+        for i in range(0, len(indices), batch_size):
+            probs.append(np.asarray(forward(jnp.asarray(normed[i : i + batch_size]))))
+        prob = np.concatenate(probs)
+        pred = (prob > cut_off).astype(np.uint8)
+
+        patch_scores = [
+            get_performance(labels[j], prob[j], pred[j]) for j in range(len(indices))
+        ]
+        prob_c = stitch_patches(prob, nrow)
+        pred_c = stitch_patches(pred, nrow)
+        label_c = stitch_patches(labels, nrow)
+        sample_c = stitch_patches(inputs, nrow)
+        wsi_score = get_performance(label_c, prob_c, pred_c)
+
+        entry = {
+            "prob": prob_c,
+            "pred": pred_c,
+            "label": label_c,
+            "sample": sample_c,
+            "heatmap": make_heatmap(prob_c),
+            "patch_scores": np.asarray(patch_scores, dtype=np.float64),
+            "patch_scores_mean": np.nanmean(np.asarray(patch_scores, np.float64), axis=0),
+            "wsi_score": wsi_score,
+        }
+        results[slide] = entry
+
+        if save_dir is not None:
+            from PIL import Image
+
+            os.makedirs(save_dir, exist_ok=True)
+            Image.fromarray((entry["heatmap"] * 255).astype(np.uint8)).save(
+                os.path.join(save_dir, f"{slide}_heatmap.png")
+            )
+            Image.fromarray((pred_c * 255).astype(np.uint8)).save(
+                os.path.join(save_dir, f"{slide}_pred.png")
+            )
+
+    if save_dir is not None:
+        save_performance_as_csv(
+            save_dir,
+            [[s] + list(r["wsi_score"]) for s, r in results.items()],
+            "wsi_performance",
+            header=["slide", "accuracy", "recall", "precision", "f1 score", "AUC score"],
+        )
+    return results

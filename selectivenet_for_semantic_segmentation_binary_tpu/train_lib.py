@@ -95,28 +95,36 @@ def _predictions(cfg, output, selection):
     return pred, sel_mask
 
 
-def _losses(cfg, outputs, label):
-    """Composite objective (reference train.py:193-204)."""
+def _losses(cfg, outputs, label, mask=None):
+    """Composite objective (reference train.py:193-204).
+
+    ``mask`` marks valid (non-padded) pixels; it is None on the training path
+    (drop_last=True -> no padding) and set on the validation path so padded
+    pixels of the static-shape final batch cannot contaminate the loss.
+    """
     use_bce = "BCE" in cfg.loss
     if cfg.selective:
         output, selection, aux = outputs
         if use_bce:
-            aux_loss = bce_with_logits(aux, label)
+            aux_loss = bce_with_logits(aux, label, mask=mask)
             sel_loss, coverage = selective_risk_b(
                 output, selection, label,
-                target_coverage=cfg.target_coverage, lamb=cfg.s_lamb,
+                target_coverage=cfg.target_coverage, lamb=cfg.s_lamb, mask=mask,
             )
         else:
-            aux_loss = softmax_cross_entropy(aux, label)
+            aux_loss = softmax_cross_entropy(aux, label, mask=mask)
             sel_loss, coverage = selective_risk_ce(
                 output, selection, label,
-                target_coverage=cfg.target_coverage, lamb=cfg.s_lamb,
+                target_coverage=cfg.target_coverage, lamb=cfg.s_lamb, mask=mask,
             )
         return aux_loss + sel_loss, {
             "aux_loss": aux_loss, "sel_loss": sel_loss, "coverage": coverage,
         }, output, selection
     output = outputs
-    loss = bce_with_logits(output, label) if use_bce else softmax_cross_entropy(output, label)
+    if use_bce:
+        loss = bce_with_logits(output, label, mask=mask)
+    else:
+        loss = softmax_cross_entropy(output, label, mask=mask)
     return loss, {}, output, None
 
 
@@ -181,9 +189,10 @@ def make_valid_step(model, cfg: TrainConfig) -> Callable:
         x = batch["input"]
         label_int = batch["label"].astype(jnp.int32)
         label = label_int.astype(jnp.float32) if use_bce else label_int
+        mask = (label_int >= 0) & (label_int < cfg.n_cls)  # padded pixels excluded
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         outputs = model.apply(variables, x, train=False)
-        loss, extras, output, selection = _losses(cfg, outputs, label)
+        loss, extras, output, selection = _losses(cfg, outputs, label, mask=mask)
         pred, sel_mask = _predictions(cfg, output, selection)
         return {"loss": loss, **extras, **_batch_metrics(cfg, label_int, pred, sel_mask)}
 

@@ -177,6 +177,64 @@ class TestSelectiveRiskCE:
         assert float(loss_int) == pytest.approx(float(loss_oh), rel=1e-6)
 
 
+class TestMaskedLosses:
+    """Padded pixels (static-shape final batches, label=PAD_LABEL) must not
+    contaminate losses — regression for a bug caught driving train.py live:
+    valid select_loss went negative because (1-y) = -254 on padded pixels."""
+
+    def test_bce_mask_equals_unpadded(self, rng):
+        x = rng.standard_normal((2, 4, 4)).astype(np.float32)
+        y = (rng.random((2, 4, 4)) > 0.5).astype(np.float32)
+        ref = float(bce_with_logits(jnp.asarray(x), jnp.asarray(y)))
+        xp = np.concatenate([x, rng.standard_normal((1, 4, 4)).astype(np.float32)])
+        yp = np.concatenate([y, np.full((1, 4, 4), 255.0, np.float32)])
+        mask = np.concatenate([np.ones((2, 4, 4), bool), np.zeros((1, 4, 4), bool)])
+        got = float(bce_with_logits(jnp.asarray(xp), jnp.asarray(yp), mask=jnp.asarray(mask)))
+        assert got == pytest.approx(ref, rel=1e-5)
+
+    def test_ce_mask_equals_unpadded(self, rng):
+        x = rng.standard_normal((2, 4, 4, 2)).astype(np.float32)
+        y = rng.integers(0, 2, (2, 4, 4))
+        ref = float(softmax_cross_entropy(jnp.asarray(x), jnp.asarray(y)))
+        xp = np.concatenate([x, rng.standard_normal((1, 4, 4, 2)).astype(np.float32)])
+        yp = np.concatenate([y, np.full((1, 4, 4), 255, np.int64)])
+        mask = np.concatenate([np.ones((2, 4, 4), bool), np.zeros((1, 4, 4), bool)])
+        got = float(
+            softmax_cross_entropy(jnp.asarray(xp), jnp.asarray(yp), mask=jnp.asarray(mask))
+        )
+        assert got == pytest.approx(ref, rel=1e-5)
+
+    def test_selective_b_mask_equals_unpadded(self, rng):
+        out = rng.standard_normal((2, 4, 4)).astype(np.float32)
+        sel = rng.standard_normal((2, 4, 4)).astype(np.float32)
+        y = (rng.random((2, 4, 4)) > 0.5).astype(np.float32)
+        ref_loss, ref_cov = selective_risk_b(jnp.asarray(out), jnp.asarray(sel), jnp.asarray(y))
+
+        pad = lambda a, v: np.concatenate([a, np.full((1, 4, 4), v, a.dtype)])
+        mask = np.concatenate([np.ones((2, 4, 4), bool), np.zeros((1, 4, 4), bool)])
+        loss, cov = selective_risk_b(
+            jnp.asarray(pad(out, 0.0)), jnp.asarray(pad(sel, 9.0)),
+            jnp.asarray(pad(y, 255.0)), mask=jnp.asarray(mask),
+        )
+        assert float(loss) == pytest.approx(float(ref_loss), rel=1e-5)
+        assert float(cov) == pytest.approx(float(ref_cov), rel=1e-5)
+        assert float(loss) >= 0.0  # the observed bug produced negative losses
+
+    def test_selective_ce_mask_equals_unpadded(self, rng):
+        out = rng.standard_normal((2, 4, 4, 2)).astype(np.float32)
+        sel = rng.standard_normal((2, 4, 4, 2)).astype(np.float32)
+        y = rng.integers(0, 2, (2, 4, 4))
+        ref_loss, _ = selective_risk_ce(jnp.asarray(out), jnp.asarray(sel), jnp.asarray(y))
+        pad4 = lambda a: np.concatenate([a, np.zeros((1, 4, 4, 2), np.float32)])
+        yp = np.concatenate([y, np.full((1, 4, 4), 255, np.int64)])
+        mask = np.concatenate([np.ones((2, 4, 4), bool), np.zeros((1, 4, 4), bool)])
+        loss, _ = selective_risk_ce(
+            jnp.asarray(pad4(out)), jnp.asarray(pad4(sel)), jnp.asarray(yp),
+            mask=jnp.asarray(mask),
+        )
+        assert float(loss) == pytest.approx(float(ref_loss), rel=1e-5)
+
+
 class TestCompositeObjective:
     """Reference train.py:193-201: loss = aux_loss + select_loss."""
 
