@@ -60,10 +60,14 @@ def torch_bias_init(fan_in: int):
 
 
 class CBR(nn.Module):
-    """Conv3x3 -> BatchNorm -> ReLU (reference model.py:9-15)."""
+    """Conv3x3 -> BatchNorm -> ReLU (reference model.py:9-15).
+
+    ``folded=True`` builds the BN-folded serving variant (Conv -> ReLU, BN
+    affine pre-multiplied into the kernel/bias by ops/fold_bn.py)."""
 
     features: int
     dtype: Dtype = jnp.float32
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -80,14 +84,15 @@ class CBR(nn.Module):
             bias_init=torch_bias_init(fan_in),
             name="conv",
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.9,        # torch BatchNorm2d momentum=0.1 <=> flax 0.9
-            epsilon=1e-5,        # torch default
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="bn",
-        )(x)
+        if not self.folded:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,        # torch BatchNorm2d momentum=0.1 <=> flax 0.9
+                epsilon=1e-5,        # torch default
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="bn",
+            )(x)
         return nn.relu(x)
 
 
@@ -141,11 +146,12 @@ class _UNetTrunk(nn.Module):
 
     dtype: Dtype = jnp.float32
     dropout_rate: float = 0.0
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool, mc_dropout: bool = False) -> jax.Array:
         d = self.dtype
-        cbr = partial(CBR, dtype=d)
+        cbr = partial(CBR, dtype=d, folded=self.folded)
 
         enc1 = cbr(64, name="enc1_1")(x, train)
         enc1 = cbr(64, name="enc1_2")(enc1, train)
@@ -194,12 +200,12 @@ class UNetB(nn.Module):
     selective: bool = False
     dtype: Dtype = jnp.float32
     dropout_rate: float = 0.0
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False, mc_dropout: bool = False):
-        feat = _UNetTrunk(dtype=self.dtype, dropout_rate=self.dropout_rate, name="trunk")(
-            x, train, mc_dropout
-        )
+        feat = _UNetTrunk(dtype=self.dtype, dropout_rate=self.dropout_rate,
+                          folded=self.folded, name="trunk")(x, train, mc_dropout)
         out = Head(1, dtype=self.dtype, name="conv1x1")(feat)
         out = jnp.squeeze(out, -1).astype(jnp.float32)
         if not self.selective:
@@ -221,12 +227,12 @@ class UNet(nn.Module):
     selective: bool = False
     dtype: Dtype = jnp.float32
     dropout_rate: float = 0.0
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False, mc_dropout: bool = False):
-        feat = _UNetTrunk(dtype=self.dtype, dropout_rate=self.dropout_rate, name="trunk")(
-            x, train, mc_dropout
-        )
+        feat = _UNetTrunk(dtype=self.dtype, dropout_rate=self.dropout_rate,
+                          folded=self.folded, name="trunk")(x, train, mc_dropout)
         out = Head(self.n_cls, dtype=self.dtype, name="conv1x1")(feat).astype(jnp.float32)
         if not self.selective:
             return out
@@ -241,13 +247,19 @@ def build_model(
     selective: bool = False,
     compute_dtype: str = "float32",
     dropout_rate: float = 0.0,
+    folded: bool = False,
 ) -> nn.Module:
-    """Factory matching the reference's arch selection (train.py:71-74)."""
+    """Factory matching the reference's arch selection (train.py:71-74).
+
+    ``folded=True`` builds the BN-folded serving variant consuming params
+    produced by ops.fold_bn.fold_batchnorm."""
     dtype = jnp.dtype(compute_dtype)
     if model_arch == "UNet_B":
-        return UNetB(selective=selective, dtype=dtype, dropout_rate=dropout_rate)
+        return UNetB(selective=selective, dtype=dtype, dropout_rate=dropout_rate,
+                     folded=folded)
     if model_arch == "UNet":
-        return UNet(n_cls=n_cls, selective=selective, dtype=dtype, dropout_rate=dropout_rate)
+        return UNet(n_cls=n_cls, selective=selective, dtype=dtype,
+                    dropout_rate=dropout_rate, folded=folded)
     raise ValueError(f"unknown model_arch {model_arch!r} (expected 'UNet' or 'UNet_B')")
 
 

