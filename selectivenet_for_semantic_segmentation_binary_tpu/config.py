@@ -130,6 +130,7 @@ class EvalConfig:
     # --- TPU-native extensions ---
     compute_dtype: str = "bfloat16"
     seed: int = 42
+    use_pallas: bool = True  # fused eval-metrics kernel (single-chip binary path)
 
     @property
     def n_devices(self) -> int:

@@ -71,8 +71,15 @@ def load_models(cfg: EvalConfig):
     return model, variables
 
 
-def make_eval_step(model, cfg: EvalConfig, n_models: int) -> Callable:
-    """Jitted (variables, batch) -> {cm, n_pix[, n_reject]} evaluation step."""
+def make_eval_step(model, cfg: EvalConfig, n_models: int,
+                   use_pallas: bool = False) -> Callable:
+    """Jitted (variables, batch) -> {cm, n_pix[, n_reject]} evaluation step.
+
+    ``use_pallas`` routes the post-forward metric pipeline (rescale ->
+    threshold -> selection mask -> confusion counting) through the fused
+    Pallas kernel (ops/pallas_metrics.py) — single-chip binary-head paths
+    only; the caller guards mesh size and backend.
+    """
     selective = cfg.selective
     select_eval = cfg.select_eval
     if n_models > 1 and selective:
@@ -95,6 +102,28 @@ def make_eval_step(model, cfg: EvalConfig, n_models: int) -> Callable:
 
         if n_models == 1:
             output, selection = forward_single(variables, x)
+            if (
+                use_pallas
+                and output.ndim == 3
+                and cfg.n_cls == 2
+                and cfg.single_scale in ("sigmoid", "None", "clip")
+                and (selection is not None or not select_eval)
+            ):
+                # clip(x,0,1) > c is equivalent to x > c for c in (0,1), so
+                # 'clip' and 'None' share the raw-threshold kernel mode.
+                from .ops.pallas_metrics import fused_eval_metrics
+
+                res = fused_eval_metrics(
+                    output, label,
+                    selection if select_eval else None,
+                    apply_sigmoid=(cfg.single_scale == "sigmoid"),
+                    selective=select_eval,
+                    cut_off=cfg.cut_off, s_cut_off=cfg.s_cut_off,
+                )
+                metrics = {"cm": res["cm"], "n_pix": res["n_pix"]}
+                if select_eval:
+                    metrics["n_reject"] = res["n_reject"]
+                return metrics
             output = _rescale(output, cfg.single_scale) if output.ndim == 3 else output
         else:
             # stacked-params ensemble: vmap over the member axis, mean on device
@@ -162,7 +191,12 @@ def evaluate(cfg: EvalConfig, loader: Optional[PatchLoader] = None,
             print(f"    num workers: {cfg.num_workers}")
             print("     # of test dataset", len(ds))
 
-    step = make_eval_step(model, cfg, n_models)
+    use_pallas = (
+        getattr(cfg, "use_pallas", True)
+        and mesh.devices.size == 1
+        and jax.default_backend() == "tpu"
+    )
+    step = make_eval_step(model, cfg, n_models, use_pallas=use_pallas)
     evaluator = Evaluator(num_class=cfg.n_cls, selective=cfg.select_eval)
 
     cm_total = None
