@@ -1,0 +1,148 @@
+// Native patch decoder for the WSI data pipeline.
+//
+// Decodes one (input JPEG, label PNG) patch pair straight into caller-owned
+// buffers: input as float32 HWC in [0, 1], label as uint8 {0, 1} (a 0/255
+// PNG mask divided by 255, matching reference utils/data_utils.py:220-221).
+// Fusing decode + dtype conversion + scaling in C++ avoids the PIL->numpy
+// intermediate copies of the Python path, and ctypes releases the GIL for the
+// whole call so the loader's thread pool decodes truly in parallel.
+//
+// Exported C ABI (consumed by data/native_decoder.py via ctypes):
+//   int decode_patch_pair(input_path, label_path, float* input_out,
+//                         uint8_t* label_out, int expect_h, int expect_w)
+//   returns 0 on success, negative error codes otherwise (see header comment
+//   of each stage).
+
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <csetjmp>
+#include <cstdint>
+
+#include <jpeglib.h>
+#include <png.h>
+
+namespace {
+
+struct JpegErrorMgr {
+  jpeg_error_mgr pub;
+  jmp_buf setjmp_buffer;
+};
+
+void jpeg_error_exit(j_common_ptr cinfo) {
+  auto* err = reinterpret_cast<JpegErrorMgr*>(cinfo->err);
+  longjmp(err->setjmp_buffer, 1);
+}
+
+// -2: open failure, -3: decode failure, -4: unexpected dims/channels
+int decode_jpeg_rgb01(const char* path, float* out, int expect_h, int expect_w) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -2;
+
+  jpeg_decompress_struct cinfo;
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return -3;
+  }
+
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+
+  const int h = cinfo.output_height;
+  const int w = cinfo.output_width;
+  const int c = cinfo.output_components;
+  if (h != expect_h || w != expect_w || c != 3) {
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return -4;
+  }
+
+  JSAMPARRAY row = (*cinfo.mem->alloc_sarray)(
+      reinterpret_cast<j_common_ptr>(&cinfo), JPOOL_IMAGE, w * c, 1);
+  constexpr float kInv255 = 1.0f / 255.0f;
+  while (cinfo.output_scanline < cinfo.output_height) {
+    const int y = cinfo.output_scanline;
+    jpeg_read_scanlines(&cinfo, row, 1);
+    float* dst = out + static_cast<size_t>(y) * w * 3;
+    const JSAMPLE* src = row[0];
+    for (int i = 0; i < w * 3; ++i) dst[i] = src[i] * kInv255;
+  }
+
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  fclose(f);
+  return 0;
+}
+
+// -5: open failure, -6: not a PNG / init failure, -7: unexpected dims
+int decode_png_label01(const char* path, uint8_t* out, int expect_h, int expect_w) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -5;
+
+  png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) { fclose(f); return -6; }
+  png_infop info = png_create_info_struct(png);
+  if (!info) { png_destroy_read_struct(&png, nullptr, nullptr); fclose(f); return -6; }
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    fclose(f);
+    return -6;
+  }
+
+  png_init_io(png, f);
+  png_read_info(png, info);
+
+  // normalize any PNG flavor to 8-bit grayscale (PIL convert("L") semantics
+  // for the binary masks this pipeline stores: single-channel 0/255)
+  png_set_strip_16(png);
+  png_set_strip_alpha(png);
+  const png_byte color = png_get_color_type(png, info);
+  if (color == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+  if (color == PNG_COLOR_TYPE_GRAY && png_get_bit_depth(png, info) < 8)
+    png_set_expand_gray_1_2_4_to_8(png);
+  if (color & PNG_COLOR_MASK_COLOR) png_set_rgb_to_gray_fixed(png, 1, -1, -1);
+  png_read_update_info(png, info);
+
+  const int h = png_get_image_height(png, info);
+  const int w = png_get_image_width(png, info);
+  if (h != expect_h || w != expect_w) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    fclose(f);
+    return -7;
+  }
+
+  png_bytep row = static_cast<png_bytep>(malloc(png_get_rowbytes(png, info)));
+  for (int y = 0; y < h; ++y) {
+    png_read_row(png, row, nullptr);
+    uint8_t* dst = out + static_cast<size_t>(y) * w;
+    for (int x = 0; x < w; ++x) dst[x] = row[x] / 255;  // 0/255 -> 0/1
+  }
+  free(row);
+  png_destroy_read_struct(&png, &info, nullptr);
+  fclose(f);
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+int decode_patch_pair(const char* input_path, const char* label_path,
+                      float* input_out, uint8_t* label_out,
+                      int expect_h, int expect_w) {
+  int rc = decode_jpeg_rgb01(input_path, input_out, expect_h, expect_w);
+  if (rc != 0) return rc;
+  return decode_png_label01(label_path, label_out, expect_h, expect_w);
+}
+
+int decoder_abi_version() { return 1; }
+
+}  // extern "C"

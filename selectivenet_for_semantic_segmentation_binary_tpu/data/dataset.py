@@ -37,13 +37,30 @@ class PatchDataset:
         patch_size: int = 256,
         input_type: str = "RGB",
         transform=None,
+        decoder: str = "auto",
     ):
+        """decoder: 'auto' uses the native C++ libjpeg/libpng decoder
+        (native/patch_decoder.cpp) when buildable, falling back to PIL;
+        'pil' forces PIL; 'native' requires the native decoder."""
         self.data_dir = data_dir
         self.data_list = data_list
         self.transform = transform
         self.input_type = input_type
         self.patch_mag = patch_mag
         self.patch_size = patch_size
+
+        if decoder == "auto":
+            from . import native_decoder
+
+            self._use_native = native_decoder.available()
+        elif decoder == "native":
+            from . import native_decoder
+
+            if not native_decoder.available():
+                raise RuntimeError("native decoder requested but unavailable")
+            self._use_native = True
+        else:
+            self._use_native = False
 
         input_list, label_list = [], []
         for f in data_list:
@@ -69,11 +86,26 @@ class PatchDataset:
             == self.label_list[index].split("_label")[0]
         ), f"image {self.input_list[index]}, label {self.label_list[index]}"
 
-        inp = Image.open(os.path.join(self.patch_dir, self.input_list[index]))
-        lab = Image.open(os.path.join(self.patch_dir, self.label_list[index])).convert("L")
+        inp_path = os.path.join(self.patch_dir, self.input_list[index])
+        lab_path = os.path.join(self.patch_dir, self.label_list[index])
 
-        inp = np.asarray(inp, dtype=np.float32) / 255.0
-        lab = (np.asarray(lab) / 255.0).astype(np.uint8)
+        if self._use_native:
+            from . import native_decoder
+
+            try:
+                inp, lab = native_decoder.decode_patch_pair(
+                    inp_path, lab_path, self.patch_size
+                )
+            except RuntimeError:
+                inp = lab = None  # odd file (size mismatch, CMYK, ...) -> PIL
+        else:
+            inp = lab = None
+
+        if inp is None:
+            inp = Image.open(inp_path)
+            lab = Image.open(lab_path).convert("L")
+            inp = np.asarray(inp, dtype=np.float32) / 255.0
+            lab = (np.asarray(lab) / 255.0).astype(np.uint8)
 
         if self.input_type == "GH":
             inp = RGB2GH(inp)

@@ -1,0 +1,89 @@
+"""Native C++ decoder tests: build, decode parity with PIL, error paths,
+dataset integration, and a loader throughput sanity run."""
+
+import os
+import time
+
+import numpy as np
+import pytest
+
+from selectivenet_for_semantic_segmentation_binary_tpu.data import (
+    PatchDataset,
+    PatchLoader,
+    construct_test,
+    write_synthetic_patch_tree,
+)
+from selectivenet_for_semantic_segmentation_binary_tpu.data import native_decoder
+
+
+@pytest.fixture(scope="module")
+def patch_tree(tmp_path_factory):
+    d = tmp_path_factory.mktemp("native_data")
+    write_synthetic_patch_tree(str(d), n_slides=2, patches_per_slide=10, patch_size=64)
+    return str(d)
+
+
+needs_native = pytest.mark.skipif(
+    not native_decoder.available(), reason="native decoder not buildable here"
+)
+
+
+class TestNativeDecoder:
+    @needs_native
+    def test_decode_matches_pil(self, patch_tree):
+        test = construct_test(patch_tree, test_fold=1)
+        ds_pil = PatchDataset(patch_tree, test, patch_size=64, decoder="pil")
+        ds_nat = PatchDataset(patch_tree, test, patch_size=64, decoder="native")
+        for i in range(min(4, len(ds_pil))):
+            a, b = ds_pil[i], ds_nat[i]
+            # JPEG decoders may differ by a few ULP of IDCT rounding; labels
+            # are PNG (lossless) and must match exactly
+            np.testing.assert_allclose(b["input"], a["input"], atol=2.5 / 255.0)
+            np.testing.assert_array_equal(b["label"], a["label"])
+            assert b["input"].dtype == np.float32
+            assert b["label"].dtype == np.uint8
+
+    @needs_native
+    def test_size_mismatch_raises(self, patch_tree):
+        test = construct_test(patch_tree, test_fold=1)
+        ds = PatchDataset(patch_tree, test, patch_size=64)
+        inp = os.path.join(ds.patch_dir, ds.input_list[0])
+        lab = os.path.join(ds.patch_dir, ds.label_list[0])
+        with pytest.raises(RuntimeError, match="code -4"):
+            native_decoder.decode_patch_pair(inp, lab, 32)
+
+    @needs_native
+    def test_missing_file_raises(self):
+        with pytest.raises(RuntimeError, match="code -2"):
+            native_decoder.decode_patch_pair("/nonexistent.jpg", "/nonexistent.png", 64)
+
+    @needs_native
+    def test_auto_dataset_uses_native_and_falls_back(self, patch_tree, tmp_path):
+        """'auto' must survive an undecodable file by falling back to PIL —
+        here a patch whose real size disagrees with patch_size still loads
+        via PIL (native refuses with -4)."""
+        from PIL import Image
+
+        d = tmp_path / "odd"
+        pd = d / "200x_64"
+        pd.mkdir(parents=True)
+        Image.fromarray(np.zeros((32, 32, 3), np.uint8)).save(pd / "s_0_0_input.jpg")
+        Image.fromarray(np.zeros((32, 32), np.uint8)).save(pd / "s_0_0_label.png")
+        ds = PatchDataset(
+            str(d), [("s_0_0_input.jpg", "s_0_0_label.png")], patch_size=64, decoder="auto"
+        )
+        sample = ds[0]  # PIL fallback returns the true 32x32 size
+        assert sample["input"].shape == (32, 32, 3)
+
+    @needs_native
+    def test_loader_end_to_end_native(self, patch_tree):
+        test = construct_test(patch_tree, test_fold=1)
+        ds = PatchDataset(patch_tree, test, patch_size=64, decoder="native")
+        loader = PatchLoader(ds, batch_size=4, num_workers=4)
+        batches = list(loader)
+        assert sum(b["nvalid"] for b in batches) == len(ds)
+
+    def test_pil_mode_always_works(self, patch_tree):
+        test = construct_test(patch_tree, test_fold=1)
+        ds = PatchDataset(patch_tree, test, patch_size=64, decoder="pil")
+        assert ds[0]["input"].shape == (64, 64, 3)
