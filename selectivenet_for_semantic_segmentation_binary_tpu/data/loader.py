@@ -43,7 +43,14 @@ class PatchLoader:
         seed: int = 0,
         sharding=None,
         prefetch: int = 2,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
+        """``process_index``/``process_count``: multi-host mode — this host
+        decodes only its contiguous 1/process_count slice of every global
+        batch and the global array is stitched with
+        jax.make_array_from_process_local_data (parallel/multihost.py).
+        batch_size is always the GLOBAL batch size."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -52,6 +59,10 @@ class PatchLoader:
         self.seed = seed
         self.sharding = sharding
         self.prefetch = max(1, prefetch)
+        self.process_index = process_index
+        self.process_count = process_count
+        if batch_size % max(1, process_count) != 0:
+            raise ValueError("batch_size must be divisible by process_count")
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -78,22 +89,38 @@ class PatchLoader:
             return self.dataset[int(index)]
 
     def _assemble(self, pool: ThreadPoolExecutor, indices: np.ndarray):
-        samples = list(pool.map(self._load_sample, indices))
-        inp = np.stack([s["input"] for s in samples]).astype(np.float32)
-        lab = np.stack([s["label"] for s in samples]).astype(np.int32)
-        ids = [s.get("id", str(i)) for s, i in zip(samples, indices)]
+        nvalid = len(indices)  # global count of real samples in this batch
 
-        nvalid = inp.shape[0]
-        if nvalid < self.batch_size:  # pad the final partial batch
-            pad = self.batch_size - nvalid
+        if self.process_count > 1:
+            # decode only this host's contiguous slice of the padded global batch
+            per = self.batch_size // self.process_count
+            lo, hi = self.process_index * per, (self.process_index + 1) * per
+            local_indices = indices[lo:min(hi, len(indices))]
+            local_rows = per
+        else:
+            local_indices = indices
+            local_rows = self.batch_size
+
+        samples = list(pool.map(self._load_sample, local_indices))
+        if samples:
+            inp = np.stack([s["input"] for s in samples]).astype(np.float32)
+            lab = np.stack([s["label"] for s in samples]).astype(np.int32)
+        else:  # this host's slice is pure padding
+            shape = tuple(np.shape(self.dataset[0]["input"]))
+            inp = np.zeros((0,) + shape, np.float32)
+            lab = np.zeros((0,) + shape[:-1], np.int32)
+        ids = [s.get("id", str(i)) for s, i in zip(samples, local_indices)]
+
+        if inp.shape[0] < local_rows:  # pad the final partial batch
+            pad = local_rows - inp.shape[0]
             inp = np.concatenate([inp, np.zeros((pad,) + inp.shape[1:], np.float32)])
             lab = np.concatenate([lab, np.full((pad,) + lab.shape[1:], PAD_LABEL, np.int32)])
 
         batch = {"input": inp, "label": lab}
         if self.sharding is not None:
-            import jax
+            from ..parallel.multihost import put_global
 
-            batch = {k: jax.device_put(v, self.sharding) for k, v in batch.items()}
+            batch = {k: put_global(v, self.sharding) for k, v in batch.items()}
         batch["id"] = ids
         batch["nvalid"] = nvalid
         return batch

@@ -1,0 +1,61 @@
+"""Multi-host (multi-process) data-parallel support.
+
+The reference's scale-up story stops at single-process DataParallel (SURVEY.md
+§2.2 — ``DistributedSampler`` is imported but never used, data_utils.py:7).
+The TPU-native multi-host path:
+
+1. every host calls ``initialize()`` (jax.distributed) so ``jax.devices()``
+   spans all hosts' chips over ICI/DCN;
+2. the SAME 1-D mesh + jit train step from parallel/mesh.py and train_lib.py
+   runs unchanged — the loss/BN/coverage semantics are defined on the global
+   logical batch, so nothing about the objective changes with host count;
+3. each host decodes only its slice of every global batch
+   (``PatchLoader(process_index=..., process_count=...)``) and assembles the
+   global array with ``jax.make_array_from_process_local_data``.
+
+Single-process calls degrade to no-ops, so the code path is identical on one
+host (tested) and many (requires a multi-host fleet, not available in CI).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """jax.distributed.initialize wrapper; no-op when single-process args are
+    absent and no cluster env (TPU pod metadata) is detected."""
+    if coordinator_address is None and num_processes is None:
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            return  # not a managed TPU-pod environment: stay single-process
+    else:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+
+
+def process_info() -> tuple:
+    return jax.process_index(), jax.process_count()
+
+
+def put_global(local_np: np.ndarray, sharding) -> jax.Array:
+    """Assemble a global array from this host's slice.
+
+    Single-process: plain device_put. Multi-process: every host passes its
+    process-local rows (the global batch is split contiguously by process
+    index) and JAX stitches the global logical array.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(local_np, sharding)
+    return jax.make_array_from_process_local_data(sharding, local_np)

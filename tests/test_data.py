@@ -222,6 +222,34 @@ class TestPatchLoader:
         assert ids_e0 != ids_e1
         assert sorted(ids_e0) == sorted(ids_e1)
 
+    def test_multihost_slices_reassemble_global_batch(self, patch_tree):
+        """Two simulated hosts' local slices must concatenate to exactly the
+        single-host global batch (order, padding and nvalid included)."""
+        test = construct_test(patch_tree, test_fold=1)
+        ds = PatchDataset(patch_tree, test, patch_size=32)
+        mk = lambda pi, pc: PatchLoader(
+            ds, batch_size=4, drop_last=False, num_workers=2,
+            process_index=pi, process_count=pc,
+        )
+        global_batches = list(mk(0, 1))
+        h0 = list(mk(0, 2))
+        h1 = list(mk(1, 2))
+        assert len(global_batches) == len(h0) == len(h1)
+        for g, a, b in zip(global_batches, h0, h1):
+            np.testing.assert_array_equal(
+                np.concatenate([a["input"], b["input"]]), g["input"]
+            )
+            np.testing.assert_array_equal(
+                np.concatenate([a["label"], b["label"]]), g["label"]
+            )
+            assert a["nvalid"] == b["nvalid"] == g["nvalid"]
+
+    def test_multihost_batch_divisibility_enforced(self, patch_tree):
+        test = construct_test(patch_tree, test_fold=1)
+        ds = PatchDataset(patch_tree, test, patch_size=32)
+        with pytest.raises(ValueError, match="divisible"):
+            PatchLoader(ds, batch_size=5, process_count=2)
+
     def test_sharded_device_put(self, patch_tree):
         import jax
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
