@@ -78,6 +78,7 @@ class TrainConfig:
     drop_last: bool = True           # static shapes for jit; see data/loader.py
     restore_optim: bool = False      # reference deliberately skips it (train.py:126)
     dropout_rate: float = 0.0        # enables MC-uncertainty stochastic forwards
+    profile_dir: Optional[str] = None  # jax.profiler trace of the 2nd epoch
 
     @property
     def n_devices(self) -> int:

@@ -385,15 +385,22 @@ def train(cfg: TrainConfig, loaders=None, verbose: bool = True) -> Dict[str, Any
         if hasattr(loader_train, "set_epoch"):
             loader_train.set_epoch(epoch)
         rng, epoch_rng = jax.random.split(rng)
+        # profile the 2nd epoch of the run (past compilation) when requested
+        profiling = cfg.profile_dir is not None and epoch == start_epoch + 2
+        if profiling:
+            jax.profiler.start_trace(cfg.profile_dir)
         state, tr, tr_batch, tr_metrics = _run_epoch(
             cfg, loader_train, train_step, state, current_lr, epoch_rng, train=True
         )
+        if profiling:
+            jax.profiler.stop_trace()
 
         if cfg.lr_sche is not None:
             scheduler.step(tr.loss if cfg.lr_sche == "ReduceLR" else None)
 
         writer_train.add_scalar("loss", tr.loss, epoch)
         writer_train.add_scalar("accuracy", tr.acc, epoch)
+        writer_train.add_scalar("patches_per_sec", tr.patches_per_sec, epoch)
         if cfg.selective:
             writer_train.add_scalar("aux loss", tr.aux_loss, epoch)
             writer_train.add_scalar("selection loss", tr.sel_loss, epoch)
@@ -414,7 +421,8 @@ def train(cfg: TrainConfig, loaders=None, verbose: bool = True) -> Dict[str, Any
         if verbose:
             print(
                 "train_loss %.05f train_acc %.04f | valid_loss %.05f valid_acc %.04f"
-                % (tr.loss, tr.acc, va.loss, va.acc)
+                " | %.0f patches/s"
+                % (tr.loss, tr.acc, va.loss, va.acc, tr.patches_per_sec)
             )
             if cfg.selective:
                 print(

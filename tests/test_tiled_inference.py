@@ -1,0 +1,80 @@
+"""Tiled whole-slide inference must equal the monolithic forward pixel-exactly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from selectivenet_for_semantic_segmentation_binary_tpu.models import UNetB
+from selectivenet_for_semantic_segmentation_binary_tpu.tools.tiled_inference import (
+    DEFAULT_HALO,
+    tiled_inference,
+    wsi_mask,
+)
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    model = UNetB(selective=True)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+    return model, variables
+
+
+def _apply(model, variables):
+    def fn(batch):
+        return model.apply(variables, batch, train=False)
+
+    return fn
+
+
+class TestTiledInference:
+    def test_exact_equality_with_monolithic(self, model_and_vars, rng):
+        model, variables = model_and_vars
+        img = jnp.asarray(rng.standard_normal((192, 256, 3)).astype(np.float32))
+        full = model.apply(variables, img[None], train=False)
+        tiled = tiled_inference(_apply(model, variables), img, tile=(64, 64))
+        for f, t in zip(full, tiled):
+            np.testing.assert_allclose(np.asarray(f[0]), t, rtol=1e-5, atol=1e-5)
+
+    def test_non_divisible_tile_remainders(self, model_and_vars, rng):
+        """Image not a multiple of the tile -> remainder chunks still exact."""
+        model, variables = model_and_vars
+        img = jnp.asarray(rng.standard_normal((200, 168, 3)).astype(np.float32))
+        full = model.apply(variables, img[None], train=False)
+        tiled = tiled_inference(_apply(model, variables), img, tile=(144, 144))
+        np.testing.assert_allclose(np.asarray(full[0][0]), tiled[0], rtol=1e-5, atol=1e-5)
+
+    def test_single_window_small_image(self, model_and_vars, rng):
+        model, variables = model_and_vars
+        img = jnp.asarray(rng.standard_normal((64, 64, 3)).astype(np.float32))
+        full = model.apply(variables, img[None], train=False)
+        tiled = tiled_inference(_apply(model, variables), img, tile=(512, 512))
+        np.testing.assert_allclose(np.asarray(full[0][0]), tiled[0], rtol=1e-5, atol=1e-5)
+
+    def test_rejects_bad_halo_and_dims(self, model_and_vars, rng):
+        model, variables = model_and_vars
+        img = jnp.zeros((64, 64, 3))
+        with pytest.raises(ValueError, match="halo"):
+            tiled_inference(_apply(model, variables), img, halo=16)
+        with pytest.raises(ValueError, match="divisible"):
+            tiled_inference(_apply(model, variables), jnp.zeros((65, 64, 3)))
+
+    def test_wsi_mask_outputs(self, model_and_vars, rng):
+        model, variables = model_and_vars
+        img = rng.random((128, 128, 3)).astype(np.float32)
+        out = wsi_mask(model, variables, img, selective=True, tile=(64, 64))
+        assert out["prob"].shape == (128, 128)
+        assert set(np.unique(out["pred"])) <= {0, 1}
+        assert out["selection"].shape == (128, 128)
+
+    def test_plain_model_single_output(self, rng):
+        model = UNetB(selective=False)
+        variables = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)), train=False)
+        img = jnp.asarray(rng.standard_normal((128, 64, 3)).astype(np.float32))
+        full = model.apply(variables, img[None], train=False)
+
+        def fn(batch):
+            return model.apply(variables, batch, train=False)
+
+        tiled = tiled_inference(fn, img, tile=(64, 64))
+        np.testing.assert_allclose(np.asarray(full[0]), tiled, rtol=1e-5, atol=1e-5)
