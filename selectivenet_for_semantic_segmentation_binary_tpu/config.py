@@ -79,6 +79,8 @@ class TrainConfig:
     restore_optim: bool = False      # reference deliberately skips it (train.py:126)
     dropout_rate: float = 0.0        # enables MC-uncertainty stochastic forwards
     profile_dir: Optional[str] = None  # jax.profiler trace of the 2nd epoch
+    pnt_aug: bool = False            # PartialNonTissue augmentation (data_utils.py:127)
+    blankfield: bool = False         # blank-field white-balance preprocessing ("BC")
 
     @property
     def n_devices(self) -> int:
@@ -132,6 +134,7 @@ class EvalConfig:
     compute_dtype: str = "bfloat16"
     seed: int = 42
     use_pallas: bool = True  # fused eval-metrics kernel (single-chip binary path)
+    blankfield: bool = False  # blank-field white-balance preprocessing ("BC")
 
     @property
     def n_devices(self) -> int:

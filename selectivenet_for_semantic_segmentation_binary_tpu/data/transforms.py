@@ -95,6 +95,31 @@ class PartialNonTissue:
         return data
 
 
+class BlankfieldCorrection:
+    """Blank-field (white-balance) correction: rescale each channel by its
+    estimated background white point so non-tissue regions become neutral
+    white.
+
+    Reconstructs the "BC" preprocessing variant of the reference's experiment
+    grid (u-net_testing.ipynb cells 21-60 evaluate 'Blankfield-corrected'
+    models; the notebook that implemented it, check_preprocessing.ipynb, is
+    stripped from the repo — .MISSING_LARGE_BLOBS:1). White point = the
+    ``percentile``-th per-channel value (background pixels dominate the bright
+    tail of WSI patches); output = clip(rgb / whitepoint, 0, 1).
+    """
+
+    def __init__(self, percentile: float = 95.0, min_white: float = 0.5):
+        self.percentile = percentile
+        self.min_white = min_white  # guards all-tissue patches with no background
+
+    def __call__(self, data: Data, rng: np.random.Generator) -> Data:
+        inp = data["input"]
+        white = np.percentile(inp.reshape(-1, inp.shape[-1]), self.percentile, axis=0)
+        white = np.maximum(white, self.min_white)
+        data["input"] = np.clip(inp / white, 0.0, 1.0).astype(inp.dtype)
+        return data
+
+
 class ToArray:
     """Finalize dtypes: input float32 NHWC, label int64 (replaces the
     reference's ToTensor CHW transpose, data_utils.py:159-168 — NHWC stays)."""

@@ -177,7 +177,12 @@ def evaluate(cfg: EvalConfig, loader: Optional[PatchLoader] = None,
 
     if loader is None:
         test_list = construct_test(cfg.data_dir, test_fold=cfg.test_fold)
-        transform = Compose([Normalization(0.5, 0.5), ToArray()])
+        pre = []
+        if getattr(cfg, "blankfield", False):
+            from .data.transforms import BlankfieldCorrection
+
+            pre.append(BlankfieldCorrection())
+        transform = Compose(pre + [Normalization(0.5, 0.5), ToArray()])
         ds = PatchDataset(cfg.data_dir, test_list, cfg.patch_mag, cfg.patch_size,
                           cfg.input_type, transform=transform)
         loader = PatchLoader(ds, cfg.batch_size, shuffle=False,
@@ -241,4 +246,24 @@ def evaluate(cfg: EvalConfig, loader: Optional[PatchLoader] = None,
               f"F1_Score:{results['f1_score']}")
         print(f"    mIoU:{results['mIoU']}")
         print(f"    IoU_class:{results['IoU_class']}")
+
+    # --save_dir: persist the metric block as CSV (the reference declares the
+    # flag but its CSV helper is broken dead code, eval.py:67-74)
+    if getattr(cfg, "save_dir", None) and cfg.save_dir != "./output":
+        from .tools.wsi import save_performance_as_csv
+
+        fmt = lambda a: " ".join(f"{float(v):.6f}" for v in np.atleast_1d(a))
+        row = [
+            f"{results['accuracy']:.6f}", f"{results['accuracy_class']:.6f}",
+            fmt(results["precision"]), fmt(results["recall"]),
+            fmt(results["f1_score"]), f"{results['mIoU']:.6f}",
+            fmt(results["IoU_class"]),
+            f"{results['rejection_ratio']:.6f}" if cfg.select_eval else "",
+            n_models,
+        ]
+        save_performance_as_csv(
+            cfg.save_dir, [row], f"eval_fold{cfg.test_fold}",
+            header=["accuracy", "accuracy_class", "precision", "recall",
+                    "f1_score", "mIoU", "IoU_class", "rejection_ratio", "n_models"],
+        )
     return results

@@ -326,8 +326,18 @@ def make_loaders(cfg: TrainConfig, mesh) -> Tuple[PatchLoader, PatchLoader]:
     """Fold lists + datasets + sharded loaders (reference train.py:367-381)."""
     train_list, valid_list = construct_train_valid(cfg.data_dir, test_fold=cfg.fold,
                                                    seed=cfg.seed)
-    tf_train = Compose([Normalization(0.5, 0.5), RandomFlip(), ToArray()])
-    tf_valid = Compose([Normalization(0.5, 0.5), ToArray()])
+    pre = []
+    if getattr(cfg, "blankfield", False):
+        from .data.transforms import BlankfieldCorrection
+
+        pre.append(BlankfieldCorrection())
+    train_aug = []
+    if getattr(cfg, "pnt_aug", False):
+        from .data.transforms import PartialNonTissue
+
+        train_aug.append(PartialNonTissue())
+    tf_train = Compose(pre + train_aug + [Normalization(0.5, 0.5), RandomFlip(), ToArray()])
+    tf_valid = Compose(pre + [Normalization(0.5, 0.5), ToArray()])
     ds_train = PatchDataset(cfg.data_dir, train_list, cfg.patch_mag, cfg.patch_size,
                             cfg.input_type, transform=tf_train)
     ds_valid = PatchDataset(cfg.data_dir, valid_list, cfg.patch_mag, cfg.patch_size,

@@ -67,19 +67,39 @@ def _epoch_of(filename: str) -> int:
 
 
 def latest_checkpoint(ckpt_dir: str) -> Optional[Tuple[str, int]]:
-    """Newest checkpoint by digit-sorted filename (net_utils.py:18-24), or None.
+    """Newest *loadable* checkpoint by digit-sorted filename (net_utils.py:18-24).
 
     Accepts both native .ckpt files and reference .pth files so a model
     directory produced by the reference resumes/evaluates directly.
+
+    Resilience (no reference equivalent): if the newest file is corrupt —
+    e.g. a run killed mid-write before the atomic rename existed, or disk
+    truncation — fall back to the next older checkpoint instead of refusing
+    to resume, so "rerun the same command" always recovers.
     """
     if not os.path.isdir(ckpt_dir):
         return None
     files = [f for f in os.listdir(ckpt_dir) if f.endswith((".ckpt", ".pth"))]
-    if not files:
-        return None
     files.sort(key=_epoch_of)
-    name = files[-1]
-    return os.path.join(ckpt_dir, name), _epoch_of(name)
+    for name in reversed(files):
+        path = os.path.join(ckpt_dir, name)
+        if _loadable(path):
+            return path, _epoch_of(name)
+        print(f"skipping unreadable checkpoint {path}")
+    return None
+
+
+def _loadable(path: str) -> bool:
+    try:
+        if path.endswith(".pth"):
+            import torch
+
+            torch.load(path, map_location="cpu", weights_only=False)
+        else:
+            load_checkpoint(path)
+        return True
+    except Exception:
+        return False
 
 
 def list_checkpoints(ckpt_dir: str):

@@ -175,3 +175,20 @@ class TestTorchInterchange:
 
         assert paths(variables["params"]) == paths(ref["params"])
         assert paths(variables["batch_stats"]) == paths(ref["batch_stats"])
+
+
+class TestCorruptCheckpointResilience:
+    def test_falls_back_to_previous_loadable(self, tmp_path):
+        save_checkpoint(str(tmp_path), {"epoch": 1}, 1)
+        save_checkpoint(str(tmp_path), {"epoch": 2}, 2)
+        # corrupt the newest file (truncated write without atomic rename)
+        with open(tmp_path / "model_epoch3.ckpt", "wb") as f:
+            f.write(b"\x82garbage-truncated")
+        path, epoch = latest_checkpoint(str(tmp_path))
+        assert epoch == 2
+        assert load_checkpoint(path)["epoch"] == 2
+
+    def test_all_corrupt_returns_none(self, tmp_path):
+        with open(tmp_path / "model_epoch1.ckpt", "wb") as f:
+            f.write(b"junk")
+        assert latest_checkpoint(str(tmp_path)) is None

@@ -263,3 +263,31 @@ class TestPatchLoader:
         b = next(iter(loader))
         assert isinstance(b["input"], jax.Array)
         assert b["input"].sharding.is_equivalent_to(sharding, ndim=4)
+
+
+class TestBlankfield:
+    def test_background_becomes_white(self, rng):
+        from selectivenet_for_semantic_segmentation_binary_tpu.data.transforms import (
+            BlankfieldCorrection,
+        )
+
+        # tissue-ish patch with a color-cast background at 0.9/0.85/0.8
+        inp = np.full((32, 32, 3), (0.9, 0.85, 0.8), np.float32)
+        inp[8:24, 8:24] = (0.5, 0.2, 0.4)  # tissue block
+        out = BlankfieldCorrection()({"input": inp.copy(), "label": np.zeros((32, 32))},
+                                     np.random.default_rng(0))
+        bg = out["input"][0, 0]
+        np.testing.assert_allclose(bg, 1.0, atol=1e-5)
+        assert out["input"].max() <= 1.0 and out["input"].min() >= 0.0
+
+    def test_all_tissue_guard(self, rng):
+        from selectivenet_for_semantic_segmentation_binary_tpu.data.transforms import (
+            BlankfieldCorrection,
+        )
+
+        inp = np.full((16, 16, 3), 0.1, np.float32)  # no background at all
+        out = BlankfieldCorrection(min_white=0.5)(
+            {"input": inp.copy(), "label": np.zeros((16, 16))}, np.random.default_rng(0)
+        )
+        # guarded by min_white: scaled by 1/0.5, not blown up to 1.0
+        np.testing.assert_allclose(out["input"], 0.2, atol=1e-5)
