@@ -138,3 +138,33 @@ def tumor_pixel_report(data_dir: str, patch_mag: int = 200, patch_size: int = 25
             "tumor_ratio": tumor_px / total if total else 0.0,
         }
     return report
+
+
+def main(argv=None) -> None:
+    """CLI: python -m selectivenet_for_semantic_segmentation_binary_tpu.tools.data_split"""
+    import argparse
+
+    parser = argparse.ArgumentParser(description="Generate 5-fold patch lists")
+    parser.add_argument("--data_dir", required=True)
+    parser.add_argument("--patch_mag", type=int, default=200)
+    parser.add_argument("--patch_size", type=int, default=256)
+    parser.add_argument("--threshold_ratio", type=float, default=0.1)
+    parser.add_argument("--n_splits", type=int, default=5)
+    parser.add_argument("--seed", type=int, default=44)
+    parser.add_argument("--report", action="store_true",
+                        help="print per-fold tumor/benign pixel stats after splitting")
+    args = parser.parse_args(argv)
+
+    counts = build_fold_lists(args.data_dir, args.patch_mag, args.patch_size,
+                              args.threshold_ratio, args.n_splits, args.seed)
+    print(f"tumorable: {counts['tumorable']}  non_tumorable: {counts['non_tumorable']}")
+    if args.report:
+        for fold, stats in tumor_pixel_report(
+            args.data_dir, args.patch_mag, args.patch_size, args.n_splits
+        ).items():
+            print(f"fold {fold}: tumor_ratio={stats['tumor_ratio']:.4f} "
+                  f"(tumor={stats['tumor_pixels']}, benign={stats['benign_pixels']})")
+
+
+if __name__ == "__main__":
+    main()
