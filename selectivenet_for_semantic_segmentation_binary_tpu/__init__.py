@@ -19,3 +19,30 @@ Layout (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+from .config import EvalConfig, TrainConfig  # noqa: E402,F401
+
+
+def __getattr__(name):
+    """Lazy top-level API (avoids importing jax/flax for config-only use)."""
+    if name in ("UNet", "UNetB", "build_model"):
+        from . import models
+
+        return getattr(models, name)
+    if name == "Predictor":
+        from .predictor import Predictor
+
+        return Predictor
+    if name == "train":
+        from .train_lib import train
+
+        return train
+    if name == "evaluate":
+        from .eval_lib import evaluate
+
+        return evaluate
+    if name == "Evaluator":
+        from .utils.metrics import Evaluator
+
+        return Evaluator
+    raise AttributeError(name)
