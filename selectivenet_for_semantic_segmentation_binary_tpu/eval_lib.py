@@ -126,9 +126,13 @@ def make_eval_step(model, cfg: EvalConfig, n_models: int,
                 return metrics
             output = _rescale(output, cfg.single_scale) if output.ndim == 3 else output
         else:
-            # stacked-params ensemble: vmap over the member axis, mean on device
+            # stacked-params ensemble: vmap over the member axis, mean on device.
+            # The rescale is per member (reference eval.py:213-220 rescales each
+            # net's output before averaging) — matters for 'minmax', whose
+            # min/max must not couple members.
             outputs, _ = jax.vmap(lambda v: forward_single(v, x))(variables)
-            outputs = _rescale(outputs, cfg.ens_scale) if outputs.ndim == 4 else outputs
+            if outputs.ndim == 4:
+                outputs = jax.vmap(lambda o: _rescale(o, cfg.ens_scale))(outputs)
             output = jnp.mean(outputs, axis=0)
             selection = None
 
