@@ -11,7 +11,11 @@ so backward-pass overheads can be attributed. Run when investigating the
 ~27% backward gap documented in docs/RESULTS.md.
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -42,21 +46,26 @@ def timeit(f, *args, n=10):
 
 
 def main() -> None:
+    mode = sys.argv[1] if len(sys.argv) > 1 else "all"
     rng = np.random.default_rng(0)
     x = jax.device_put(rng.standard_normal((B, P, P, 3)).astype(np.float32))
     y_int = jax.device_put((rng.random((B, P, P)) > 0.7).astype(np.int32))
     y = y_int.astype(jnp.float32)
 
-    for dtype in ("bfloat16", "float32"):
+    dtypes = {"fwd": ["bfloat16"], "bwd": ["bfloat16"], "full": ["bfloat16"],
+              "fwd32": ["float32"], "bwd32": ["float32"], "nobn": []}.get(mode, ["bfloat16"])
+    for dtype in dtypes:
         cfg = TrainConfig(model_arch="UNet_B", selective=True, loss="BCElogit",
                           s_lamb=2.0, patch_size=P, batch_size=B, compute_dtype=dtype)
         model = build_model(cfg.model_arch, cfg.n_cls, cfg.selective, dtype)
         tx = build_optimizer(cfg)
         state = create_state(cfg, model, tx, jax.random.PRNGKey(0))
 
-        fwd = jax.jit(lambda p, s: model.apply(
-            {"params": p, "batch_stats": s}, x, train=True, mutable=["batch_stats"]))
-        t_fwd = timeit(fwd, state.params, state.batch_stats)
+        t_fwd = t_bwd = t_full = float("nan")
+        if mode in ("fwd", "fwd32", "all"):
+            fwd = jax.jit(lambda p, s: model.apply(
+                {"params": p, "batch_stats": s}, x, train=True, mutable=["batch_stats"]))
+            t_fwd = timeit(fwd, state.params, state.batch_stats)
 
         def lossfn(p, s):
             outs, _ = model.apply({"params": p, "batch_stats": s}, x,
@@ -64,21 +73,25 @@ def main() -> None:
             loss, _, _, _ = _losses(cfg, outs, y)
             return loss
 
-        t_bwd = timeit(jax.jit(jax.grad(lossfn)), state.params, state.batch_stats)
+        if mode in ("bwd", "bwd32", "all"):
+            t_bwd = timeit(jax.jit(jax.grad(lossfn)), state.params, state.batch_stats)
 
-        step = make_train_step(model, cfg, tx)
-        st = state
-        st, m = step(st, {"input": x, "label": y_int}, 1e-3, jax.random.PRNGKey(0))
-        float(m["loss"])
-        t0 = time.perf_counter()
-        for _ in range(10):
+        if mode in ("full", "all"):
+            step = make_train_step(model, cfg, tx)
+            st = state
             st, m = step(st, {"input": x, "label": y_int}, 1e-3, jax.random.PRNGKey(0))
-        float(m["loss"])
-        t_full = (time.perf_counter() - t0) / 10
+            float(m["loss"])
+            t0 = time.perf_counter()
+            for _ in range(10):
+                st, m = step(st, {"input": x, "label": y_int}, 1e-3, jax.random.PRNGKey(0))
+            float(m["loss"])
+            t_full = (time.perf_counter() - t0) / 10
 
         print(f"[{dtype}] fwd {t_fwd*1e3:.1f} ms | fwd+bwd {t_bwd*1e3:.1f} ms "
               f"| full {t_full*1e3:.1f} ms | {B/t_full:.0f} patches/s")
 
+    if mode not in ("nobn", "all"):
+        return
     # no-BN (folded) forward/backward: how much of the time is BatchNorm?
     cfg = TrainConfig(model_arch="UNet_B", selective=True, loss="BCElogit",
                       patch_size=P, batch_size=B, compute_dtype="bfloat16")
