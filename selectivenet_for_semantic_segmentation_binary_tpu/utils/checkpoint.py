@@ -202,6 +202,61 @@ def import_torch_checkpoint(path: str) -> Dict[str, Any]:
     return torch_state_dict_to_variables(net)
 
 
+def _get(tree: dict, path):
+    node = tree
+    for p in path:
+        node = node[p]
+    return node
+
+
+def variables_to_torch_state_dict(variables: Dict[str, Any]) -> Dict[str, Any]:
+    """Inverse of torch_state_dict_to_variables: export {'params','batch_stats'}
+    as a reference-named torch-layout state dict (numpy values), so models
+    trained in this framework can be loaded by the reference's net_test_load
+    (net_utils.py:42-53) after torch.save({'net': ...})."""
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    sd: Dict[str, Any] = {}
+
+    for tname, path in _TRUNK_MAP.items():
+        conv = _get(params, path + ("conv",))
+        sd[f"{tname}.0.weight"] = np.asarray(conv["kernel"]).transpose(3, 2, 0, 1)
+        sd[f"{tname}.0.bias"] = np.asarray(conv["bias"])
+        bn = _get(params, path + ("bn",))
+        bs = _get(stats, path + ("bn",))
+        sd[f"{tname}.1.weight"] = np.asarray(bn["scale"])
+        sd[f"{tname}.1.bias"] = np.asarray(bn["bias"])
+        sd[f"{tname}.1.running_mean"] = np.asarray(bs["mean"])
+        sd[f"{tname}.1.running_var"] = np.asarray(bs["var"])
+
+    for tname, path in _UPCONV_MAP.items():
+        convt = _get(params, path + ("convt",))
+        k = np.asarray(convt["kernel"])[::-1, ::-1]  # undo the spatial flip
+        sd[f"{tname}.weight"] = k.transpose(2, 3, 0, 1)
+        sd[f"{tname}.bias"] = np.asarray(convt["bias"])
+
+    for tname, path in _HEAD_MAP.items():
+        try:
+            conv = _get(params, path + ("conv",))
+        except KeyError:
+            continue
+        sd[f"{tname}.weight"] = np.asarray(conv["kernel"]).transpose(3, 2, 0, 1)
+        sd[f"{tname}.bias"] = np.asarray(conv["bias"])
+    return sd
+
+
+def export_torch_checkpoint(variables: Dict[str, Any], path: str) -> str:
+    """Write a reference-compatible .pth: torch.save({'net': state_dict})."""
+    import torch
+
+    sd = {
+        k: torch.from_numpy(np.ascontiguousarray(v))
+        for k, v in variables_to_torch_state_dict(variables).items()
+    }
+    torch.save({"net": sd}, path)
+    return path
+
+
 def load_net_checkpoint(path: str) -> Dict[str, Any]:
     """Dispatch on extension: native .ckpt or reference .pth -> variables dict
     {'params', 'batch_stats'}."""

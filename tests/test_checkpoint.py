@@ -192,3 +192,44 @@ class TestCorruptCheckpointResilience:
         with open(tmp_path / "model_epoch1.ckpt", "wb") as f:
             f.write(b"junk")
         assert latest_checkpoint(str(tmp_path)) is None
+
+
+class TestTorchExport:
+    def test_roundtrip_identity(self, rng):
+        """export -> import must reproduce the exact variable pytree."""
+        from selectivenet_for_semantic_segmentation_binary_tpu.utils.checkpoint import (
+            torch_state_dict_to_variables,
+            variables_to_torch_state_dict,
+        )
+
+        sd = _random_torch_state_dict(rng, selective=True)
+        variables = torch_state_dict_to_variables(sd)
+        sd_back = variables_to_torch_state_dict(variables)
+        assert set(sd_back) == set(sd)
+        for k in sd:
+            np.testing.assert_allclose(sd_back[k], sd[k], rtol=1e-6, atol=1e-7)
+
+    def test_export_pth_loads_via_eval_path(self, tmp_path, rng):
+        """A .pth written by export_torch_checkpoint must load through the
+        same import path eval.py uses, with identical forwards."""
+        from selectivenet_for_semantic_segmentation_binary_tpu.utils.checkpoint import (
+            export_torch_checkpoint,
+            load_net_checkpoint,
+        )
+
+        model = UNetB(selective=True)
+        variables = jax.device_get(
+            model.init(jax.random.PRNGKey(3), jnp.zeros((1, 32, 32, 3)), train=False)
+        )
+        path = str(tmp_path / "model_epoch5.pth")
+        export_torch_checkpoint(variables, path)
+        loaded = load_net_checkpoint(path)
+
+        x = jnp.asarray(rng.standard_normal((1, 32, 32, 3)).astype(np.float32))
+        ref = model.apply(variables, x, train=False)
+        got = model.apply(
+            {"params": loaded["params"], "batch_stats": loaded["batch_stats"]},
+            x, train=False,
+        )
+        for r, g in zip(ref, got):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=1e-5, atol=1e-6)

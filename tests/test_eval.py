@@ -192,3 +192,34 @@ class TestCLI:
         assert cfg.test_fold == 1 and cfg.select_eval is True
         assert cfg.model_arch == ["UNet_B"]
         assert cfg.cut_off == 0.5 and cfg.s_cut_off == 0.5
+
+
+class TestPthCheckpointEval:
+    def test_eval_discovers_and_runs_reference_pth(self, data_dir, tmp_path, rng):
+        """Full eval driver over a torch .pth checkpoint — the 'switch from the
+        reference without retraining' path."""
+        import jax as _jax
+        import jax.numpy as _jnp
+
+        from selectivenet_for_semantic_segmentation_binary_tpu.utils.checkpoint import (
+            export_torch_checkpoint,
+        )
+
+        model = build_model("UNet_B", selective=True, compute_dtype="float32")
+        variables = _jax.device_get(
+            model.init(_jax.random.PRNGKey(0), _jnp.zeros((1, 32, 32, 3)), train=False)
+        )
+        ckpt_dir = tmp_path / "pth_ckpts"
+        ckpt_dir.mkdir()
+        export_torch_checkpoint(variables, str(ckpt_dir / "model_epoch7.pth"))
+
+        cfg = EvalConfig(
+            data_dir=data_dir, test_fold=1, patch_size=32, batch_size=8,
+            model_dir=str(ckpt_dir), model_arch=["UNet_B"], selective=True,
+            select_eval=True, compute_dtype="float32", local_rank=[0, 1],
+            num_workers=2,
+        )
+        results = evaluate(cfg, verbose=False)
+        assert results["n_models"] == 1
+        assert np.isfinite(results["accuracy"])
+        assert "rejection_ratio" in results

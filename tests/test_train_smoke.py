@@ -99,3 +99,38 @@ class TestTrainSmoke:
         cfg = _cfg(data_dir, str(tmp_path / "model"), batch_size=7)
         with pytest.raises(ValueError, match="divisible"):
             train(cfg, verbose=False)
+
+
+class TestTrainVariants:
+    def test_gh_stain_input_training(self, data_dir, tmp_path):
+        """2-channel Gray+Hematoxylin input path end to end."""
+        cfg = _cfg(data_dir, str(tmp_path / "model"), input_type="GH", n_epoch=1)
+        result = train(cfg, verbose=False)
+        assert np.isfinite(result["train"].loss)
+
+    def test_ce_selective_training(self, data_dir, tmp_path):
+        """UNet + CE + selective (softmax-selection risk) end to end."""
+        cfg = _cfg(
+            data_dir, str(tmp_path / "model"),
+            model_arch="UNet", loss="CE", selective=True, s_lamb=2.0, n_epoch=1,
+        )
+        result = train(cfg, verbose=False)
+        assert np.isfinite(result["train"].loss)
+        assert np.isfinite(result["train"].sel_loss)
+
+    def test_pnt_and_blankfield_flags(self, data_dir, tmp_path):
+        cfg = _cfg(
+            data_dir, str(tmp_path / "model"),
+            pnt_aug=True, blankfield=True, n_epoch=1,
+        )
+        result = train(cfg, verbose=False)
+        assert np.isfinite(result["train"].loss)
+
+    def test_sgd_momentum_and_cosine(self, data_dir, tmp_path):
+        cfg = _cfg(
+            data_dir, str(tmp_path / "model"),
+            optim="SGD", momentum=0.9, w_decay=5e-4,
+            lr_sche="CosineAnnealingLR", patience=4, n_epoch=2,
+        )
+        result = train(cfg, verbose=False)
+        assert result["epoch"] == 2
