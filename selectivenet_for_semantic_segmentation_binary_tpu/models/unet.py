@@ -97,7 +97,16 @@ class CBR(nn.Module):
 
 
 class UpConv(nn.Module):
-    """ConvTranspose(k=2, s=2, bias) upsampler (reference model.py:44-58)."""
+    """ConvTranspose(k=2, s=2, bias) upsampler (reference model.py:44-58).
+
+    Negative result worth keeping (docs/RESULTS.md): reformulating this as an
+    einsum + reshape (k == s makes it a pure per-pixel contraction) measured
+    SLOWER end to end (449 vs 473 patches/s) — the reshape interleaving the
+    upsampled rows fights XLA's tiled layouts and forces full-tensor copies
+    that cost more than the conv-transpose backward's `reverse` ops save.
+    Same for 2x2 max-pool via reshape+max (437 patches/s). XLA's native
+    lowerings win; don't re-attempt without profiling evidence.
+    """
 
     features: int
     dtype: Dtype = jnp.float32
