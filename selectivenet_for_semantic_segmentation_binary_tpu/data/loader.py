@@ -133,16 +133,29 @@ class PatchLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_or_stop(item) -> bool:
+            """Bounded put that re-checks stop: a consumer abandoning iteration
+            with a full queue must not strand the producer (and its thread
+            pool) in q.put forever."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
                     for b in batches:
                         if stop.is_set():
                             return
-                        q.put(self._assemble(pool, b))
-                q.put(_SENTINEL)
+                        if not put_or_stop(self._assemble(pool, b)):
+                            return
+                put_or_stop(_SENTINEL)
             except BaseException as e:  # propagate decode errors to the consumer
-                q.put(e)
+                put_or_stop(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

@@ -56,16 +56,17 @@ def _load() -> Optional[ctypes.CDLL]:
             return None
         try:
             lib = ctypes.CDLL(_SO_PATH)
-        except OSError:
-            _build_failed = True
-            return None
-        lib.decode_patch_pair.restype = ctypes.c_int
-        lib.decode_patch_pair.argtypes = [
-            ctypes.c_char_p, ctypes.c_char_p,
-            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
-            ctypes.c_int, ctypes.c_int,
-        ]
-        if lib.decoder_abi_version() != 1:
+            lib.decode_patch_pair.restype = ctypes.c_int
+            lib.decode_patch_pair.argtypes = [
+                ctypes.c_char_p, ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int, ctypes.c_int,
+            ]
+            if lib.decoder_abi_version() != 1:
+                raise OSError("ABI mismatch")
+        except (OSError, AttributeError):
+            # missing symbols (a stale .so predating the ABI marker) must
+            # degrade to PIL, not crash dataset construction
             _build_failed = True
             return None
         _lib = lib

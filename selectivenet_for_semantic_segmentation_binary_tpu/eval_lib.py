@@ -37,15 +37,24 @@ from .utils.checkpoint import list_checkpoints, load_net_checkpoint
 from .utils.metrics import Evaluator
 
 
-def _rescale(output: jax.Array, mode: str) -> jax.Array:
+def _rescale(output: jax.Array, mode: str, valid=None) -> jax.Array:
     """'None' | 'clip' | 'sigmoid' | 'minmax' output rescaling
-    (reference eval.py:174-176)."""
+    (reference eval.py:174-176).
+
+    ``valid`` (same shape, bool) restricts the minmax extrema to real pixels:
+    the static-shape final batch is padded here, whereas the reference has no
+    padding, and padded rows' garbage logits must not shift the rescale.
+    """
     if mode == "sigmoid":
         return jax.nn.sigmoid(output)
     if mode == "clip":
         return jnp.clip(output, 0.0, 1.0)
     if mode == "minmax":
-        lo, hi = jnp.min(output), jnp.max(output)
+        if valid is not None:
+            lo = jnp.min(jnp.where(valid, output, jnp.inf))
+            hi = jnp.max(jnp.where(valid, output, -jnp.inf))
+        else:
+            lo, hi = jnp.min(output), jnp.max(output)
         return (output - lo) / (hi - lo)
     return output
 
@@ -99,6 +108,7 @@ def make_eval_step(model, cfg: EvalConfig, n_models: int,
     def step(variables, batch):
         x = batch["input"]
         label = batch["label"].astype(jnp.int32)
+        valid_px = (label >= 0) & (label < cfg.n_cls)
 
         if n_models == 1:
             output, selection = forward_single(variables, x)
@@ -124,7 +134,8 @@ def make_eval_step(model, cfg: EvalConfig, n_models: int,
                 if select_eval:
                     metrics["n_reject"] = res["n_reject"]
                 return metrics
-            output = _rescale(output, cfg.single_scale) if output.ndim == 3 else output
+            if output.ndim == 3:
+                output = _rescale(output, cfg.single_scale, valid=valid_px)
         else:
             # stacked-params ensemble: vmap over the member axis, mean on device.
             # The rescale is per member (reference eval.py:213-220 rescales each
@@ -132,7 +143,9 @@ def make_eval_step(model, cfg: EvalConfig, n_models: int,
             # min/max must not couple members.
             outputs, _ = jax.vmap(lambda v: forward_single(v, x))(variables)
             if outputs.ndim == 4:
-                outputs = jax.vmap(lambda o: _rescale(o, cfg.ens_scale))(outputs)
+                outputs = jax.vmap(
+                    lambda o: _rescale(o, cfg.ens_scale, valid=valid_px)
+                )(outputs)
             output = jnp.mean(outputs, axis=0)
             selection = None
 
@@ -141,7 +154,7 @@ def make_eval_step(model, cfg: EvalConfig, n_models: int,
         else:
             pred = jnp.argmax(output, axis=-1).astype(jnp.int32)
 
-        valid = ((label >= 0) & (label < cfg.n_cls)).astype(jnp.int32)
+        valid = valid_px.astype(jnp.int32)
         metrics: Dict[str, Any] = {"n_pix": jnp.sum(valid)}
 
         sel_mask = None
@@ -150,7 +163,7 @@ def make_eval_step(model, cfg: EvalConfig, n_models: int,
                 raise ValueError("--select_eval 1 requires --selective 1 and a "
                                  "selective checkpoint")
             if selection.ndim == 3:
-                s = _rescale(selection, cfg.single_scale)
+                s = _rescale(selection, cfg.single_scale, valid=valid_px)
                 sel_mask = (s > cfg.s_cut_off).astype(jnp.int32)
             else:
                 sel_mask = jnp.argmax(selection, axis=-1).astype(jnp.int32)
@@ -208,18 +221,18 @@ def evaluate(cfg: EvalConfig, loader: Optional[PatchLoader] = None,
     step = make_eval_step(model, cfg, n_models, use_pallas=use_pallas)
     evaluator = Evaluator(num_class=cfg.n_cls, selective=cfg.select_eval)
 
-    cm_total = None
+    device_cms = []  # per-batch int32 matrices; summed in float64 on host
     total_pix = 0
     total_reject = 0
     reject_metrics = []
     for batch in loader:
         metrics = step(variables, {"input": batch["input"], "label": batch["label"]})
-        cm_total = metrics["cm"] if cm_total is None else cm_total + metrics["cm"]
+        device_cms.append(metrics["cm"])
         if cfg.select_eval:
             reject_metrics.append((metrics["n_pix"], metrics["n_reject"]))
 
-    if cm_total is not None:
-        evaluator.add_confusion_matrix(jax.device_get(cm_total))
+    for cm in jax.device_get(device_cms):
+        evaluator.add_confusion_matrix(cm)
     for n_pix, n_reject in jax.device_get(reject_metrics):
         total_pix += int(n_pix)
         total_reject += int(n_reject)

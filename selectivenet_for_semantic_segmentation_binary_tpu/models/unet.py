@@ -49,14 +49,18 @@ Dtype = Any
 conv_kernel_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
 
 
-def torch_bias_init(fan_in: int):
-    """torch conv bias default: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
-    bound = 1.0 / (fan_in ** 0.5)
+def _uniform_init(bound: float):
+    """U(-bound, bound) initializer."""
 
     def init(key, shape, dtype=jnp.float32):
         return jax.random.uniform(key, shape, dtype, -bound, bound)
 
     return init
+
+
+def torch_bias_init(fan_in: int):
+    """torch conv bias default: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+    return _uniform_init(1.0 / fan_in ** 0.5)
 
 
 class CBR(nn.Module):
@@ -113,7 +117,10 @@ class UpConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        # torch's transposed-conv fan_in for init purposes is out_ch * k * k
+        # torch computes the transposed conv's fan_in as out_ch * k * k (the
+        # weight is (in, out, kh, kw) and _calculate_fan_in uses dim 1), so
+        # both the kaiming-uniform kernel bound and the bias bound use it;
+        # flax's fan_in would be in_ch * k * k, giving sqrt(in/out)-off scales
         fan_in = self.features * 4
         return nn.ConvTranspose(
             self.features,
@@ -123,7 +130,7 @@ class UpConv(nn.Module):
             use_bias=True,
             dtype=self.dtype,
             param_dtype=jnp.float32,
-            kernel_init=conv_kernel_init,
+            kernel_init=_uniform_init(1.0 / fan_in ** 0.5),
             bias_init=torch_bias_init(fan_in),
             name="convt",
         )(x)

@@ -52,15 +52,44 @@ def confusion_matrix_update(
     # One-hot contraction instead of bincount: bincount lowers to a serialized
     # scatter-add on TPU (measured ~60 ms for a 128x256x256 batch); the
     # (Npix, C)^T @ (Npix, C) product rides the MXU and fuses with the one-hot
-    # construction. f32 accumulation is exact for counts < 2^24 per entry,
-    # far above any realistic per-batch pixel count per cell at C=2; the
-    # caller accumulates across batches in float64 on host.
-    lab_oh = jax.nn.one_hot(label.reshape(-1), num_class, dtype=jnp.float32)
-    lab_oh = lab_oh * valid.reshape(-1, 1).astype(jnp.float32)
-    pred_oh = jax.nn.one_hot(pred.reshape(-1), num_class, dtype=jnp.float32)
-    cm = jax.lax.dot_general(
-        lab_oh, pred_oh,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    return cm.astype(jnp.int32)
+    # construction. f32 accumulation is exact only below 2^24 counts per cell
+    # — an 8-chip global batch of 1024x256x256 background-dominated pixels
+    # exceeds that — so the contraction runs in chunks of <= 2^22 pixels
+    # (each chunk exact in f32) and the chunk results are summed in int32
+    # (exact to 2^31 per call). Cross-batch accumulation stays float64 on the
+    # host (utils/metrics.Evaluator).
+    flat_lab = label.reshape(-1)
+    flat_pred = pred.reshape(-1)
+    flat_valid = valid.reshape(-1)
+    total = flat_lab.shape[0]
+
+    chunk = 1 << 22
+    n_chunks = -(-total // chunk)
+    padded = n_chunks * chunk
+    if padded != total:
+        # pad with invalid pixels (label outside [0, C)) that count nowhere
+        flat_lab = jnp.concatenate(
+            [flat_lab, jnp.full((padded - total,), PAD_LABEL, flat_lab.dtype)])
+        flat_pred = jnp.concatenate(
+            [flat_pred, jnp.zeros((padded - total,), flat_pred.dtype)])
+        flat_valid = jnp.concatenate(
+            [flat_valid, jnp.zeros((padded - total,), flat_valid.dtype)])
+
+    def chunk_cm(args):
+        lab, prd, val = args
+        lab_oh = jax.nn.one_hot(lab, num_class, dtype=jnp.float32)
+        lab_oh = lab_oh * val[:, None].astype(jnp.float32)
+        pred_oh = jax.nn.one_hot(prd, num_class, dtype=jnp.float32)
+        cm = jax.lax.dot_general(
+            lab_oh, pred_oh,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return cm.astype(jnp.int32)
+
+    cms = jax.lax.map(chunk_cm, (
+        flat_lab.reshape(n_chunks, chunk),
+        flat_pred.reshape(n_chunks, chunk),
+        flat_valid.reshape(n_chunks, chunk),
+    ))
+    return jnp.sum(cms, axis=0, dtype=jnp.int32)

@@ -148,6 +148,18 @@ def spatial_forward(
     stats = variables.get("batch_stats", {})
     dtype = jnp.dtype(compute_dtype)
 
+    sharded = _build_sharded(mesh, selective, dtype)
+    x = jax.device_put(x, NamedSharding(mesh, P(None, DATA_AXIS, None, None)))
+    out = sharded(params, stats, x)
+    return out if selective else out[0]
+
+
+@functools.lru_cache(maxsize=16)
+def _build_sharded(mesh: Mesh, selective: bool, dtype):
+    """Build + jit the shard_map forward once per (mesh, selective, dtype) —
+    rebuilding the closure per call would recompile the full UNet every
+    invocation."""
+
     def fwd(params, stats, x_local):
         feat = _trunk(x_local, params["trunk"], stats.get("trunk", {}), DATA_AXIS, dtype)
         out = _conv1x1(feat, params["conv1x1"]["conv"]["kernel"],
@@ -163,11 +175,8 @@ def spatial_forward(
 
     spec_x = P(None, DATA_AXIS, None, None)
     spec_out = P(None, DATA_AXIS, None)
-    sharded = shard_map(
+    return jax.jit(shard_map(
         fwd, mesh=mesh,
         in_specs=(P(), P(), spec_x),
         out_specs=(spec_out,) * (3 if selective else 1),
-    )
-    x = jax.device_put(x, NamedSharding(mesh, spec_x))
-    out = jax.jit(sharded)(params, stats, x)
-    return out if selective else out[0]
+    ))

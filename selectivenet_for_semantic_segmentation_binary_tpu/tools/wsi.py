@@ -101,7 +101,12 @@ def wsi_inference(
             out = out[0]
         return jax.nn.sigmoid(out) if out.ndim == 3 else jax.nn.softmax(out, -1)[..., 1]
 
-    ids = [dataset[i]["id"] for i in range(len(dataset))]
+    # ids are derivable from filenames; decoding every patch just for its id
+    # would double the pipeline's I/O
+    if hasattr(dataset, "input_list"):
+        ids = [name.split("_input")[0] for name in dataset.input_list]
+    else:
+        ids = [dataset[i]["id"] for i in range(len(dataset))]
     results: Dict[str, Dict] = {}
     for slide, indices in _group_by_slide(ids).items():
         samples = [dataset[i] for i in indices]

@@ -147,6 +147,11 @@ def make_train_step(model, cfg: TrainConfig, tx) -> Callable:
         x = batch["input"]
         label_int = batch["label"].astype(jnp.int32)
         label = label_int.astype(jnp.float32) if use_bce else label_int
+        # padding exists only when drop_last is off; the mask costs a few
+        # extra reductions, so it is built only in that configuration
+        mask = None
+        if not cfg.drop_last:
+            mask = (label_int >= 0) & (label_int < cfg.n_cls)
 
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
@@ -154,7 +159,7 @@ def make_train_step(model, cfg: TrainConfig, tx) -> Callable:
             outputs, mutated = model.apply(
                 variables, x, train=True, mutable=["batch_stats"], rngs=rngs
             )
-            loss, extras, output, selection = _losses(cfg, outputs, label)
+            loss, extras, output, selection = _losses(cfg, outputs, label, mask=mask)
             return loss, (mutated["batch_stats"], extras, output, selection)
 
         (loss, (new_stats, extras, output, selection)), grads = jax.value_and_grad(
@@ -213,16 +218,21 @@ def create_state(cfg: TrainConfig, model, tx, rng) -> TrainState:
     )
 
 
-def restore_if_available(cfg: TrainConfig, state: TrainState) -> Tuple[TrainState, int]:
+def restore_if_available(
+    cfg: TrainConfig, state: TrainState
+) -> Tuple[TrainState, int, Optional[dict]]:
     """Auto-resume from the digit-latest checkpoint (reference train.py:111-129).
 
     Like the reference, only the network (params + BN stats) is restored by
-    default; optimizer restore is opt-in via cfg.restore_optim.
+    default; optimizer restore is opt-in via cfg.restore_optim. Returns the
+    saved scheduler state (if any) so loss-dependent schedules like ReduceLR
+    resume with their lr/best/bad-epoch counters instead of restarting at lr0.
     """
     found = latest_checkpoint(cfg.ckpt_dir)
     if found is None:
-        return state, 0
+        return state, 0, None
     path, epoch = found
+    sched_state = None
     if path.endswith(".pth"):
         net = load_net_checkpoint(path)
         state = state.replace(params=net["params"], batch_stats=net["batch_stats"])
@@ -231,6 +241,7 @@ def restore_if_available(cfg: TrainConfig, state: TrainState) -> Tuple[TrainStat
         state = state.replace(
             params=ckpt["net"]["params"], batch_stats=ckpt["net"]["batch_stats"]
         )
+        sched_state = ckpt.get("scheduler")
         if cfg.restore_optim and "optim" in ckpt:
             from flax import serialization
 
@@ -238,7 +249,7 @@ def restore_if_available(cfg: TrainConfig, state: TrainState) -> Tuple[TrainStat
                 opt_state=serialization.from_state_dict(state.opt_state, ckpt["optim"])
             )
     print(f"Load weights from {path}")
-    return state, epoch
+    return state, epoch, sched_state
 
 
 # ---------------------------------------------------------------------------
@@ -264,7 +275,7 @@ def _run_epoch(cfg, loader, step_fn, state, lr, rng, train: bool):
     """One pass over a loader; returns (state, EpochStats, last_batch, last_metrics)."""
     evaluator = Evaluator(cfg.n_cls, selective=cfg.selective)
     device_metrics = []
-    cm_total = None
+    device_cms = []  # per-step int32 matrices; summed in float64 on host
     t0 = time.perf_counter()
     patches = 0
     last_batch = last_metrics = None
@@ -276,17 +287,18 @@ def _run_epoch(cfg, loader, step_fn, state, lr, rng, train: bool):
             state, metrics = step_fn(state, device_batch, lr, sub)
         else:
             metrics = step_fn(state, device_batch)
-        cm = metrics.pop("cm")
-        cm_total = cm if cm_total is None else cm_total + cm
+        device_cms.append(metrics.pop("cm"))
         pred_imgs = {k: metrics.pop(k) for k in ("pred", "selection") if k in metrics}
         device_metrics.append(metrics)
         patches += batch["nvalid"]
         last_batch, last_metrics = batch, {**metrics, **pred_imgs}
 
-    # single host sync per epoch
+    # single host sync per epoch; cross-batch counts accumulate in float64 on
+    # host (per-step int32 matrices would overflow over a long WSI epoch)
     if device_metrics:
         host = jax.device_get(device_metrics)
-        evaluator.add_confusion_matrix(jax.device_get(cm_total))
+        for cm in jax.device_get(device_cms):
+            evaluator.add_confusion_matrix(cm)
     else:
         host = []
     seconds = time.perf_counter() - t0
@@ -367,13 +379,16 @@ def train(cfg: TrainConfig, loaders=None, verbose: bool = True) -> Dict[str, Any
     rng = jax.random.PRNGKey(cfg.seed)
     rng, init_rng = jax.random.split(rng)
     state = create_state(cfg, model, tx, init_rng)
-    state, start_epoch = restore_if_available(cfg, state)
+    state, start_epoch, sched_state = restore_if_available(cfg, state)
     state = replicate(state, mesh)
 
     scheduler = build_scheduler(cfg)
-    for _ in range(start_epoch):  # fast-forward epoch-indexed schedules on resume
-        if cfg.lr_sche in ("StepLR", "CosineAnnealingLR"):
-            scheduler.step()
+    if sched_state is not None:
+        scheduler.load_state_dict(sched_state)
+    else:
+        for _ in range(start_epoch):  # fast-forward epoch-indexed schedules
+            if cfg.lr_sche in ("StepLR", "CosineAnnealingLR"):
+                scheduler.step()
 
     train_step = make_train_step(model, cfg, tx)
     valid_step = make_valid_step(model, cfg)

@@ -291,3 +291,23 @@ class TestBlankfield:
         )
         # guarded by min_white: scaled by 1/0.5, not blown up to 1.0
         np.testing.assert_allclose(out["input"], 0.2, atol=1e-5)
+
+
+class TestLoaderAbandonedIteration:
+    def test_producer_exits_when_consumer_stops_early(self, patch_tree):
+        """Regression: with the prefetch queue full, an abandoned iterator
+        left the producer blocked in q.put forever (leaking its thread pool)."""
+        import threading
+        import time
+
+        test = construct_test(patch_tree, test_fold=1)
+        ds = PatchDataset(patch_tree, test, patch_size=32)
+        loader = PatchLoader(ds, batch_size=1, num_workers=2, prefetch=1)
+        before = threading.active_count()
+        it = iter(loader)
+        next(it)  # queue fills behind this
+        it.close()  # abandon: generator finally -> stop.set()
+        deadline = time.time() + 10
+        while threading.active_count() > before and time.time() < deadline:
+            time.sleep(0.05)
+        assert threading.active_count() <= before

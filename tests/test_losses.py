@@ -247,3 +247,50 @@ class TestCompositeObjective:
         sel_loss, _ = selective_risk_b(jnp.asarray(out), jnp.asarray(sel), jnp.asarray(y), lamb=2.0)
         total = float(aux_loss + sel_loss)
         assert total == pytest.approx(float(aux_loss) + float(sel_loss), rel=1e-6)
+
+
+class TestTrainStepPadMask:
+    def test_drop_last_false_losses_are_clean(self, rng):
+        """--drop_last 0 pads the final train batch with label=255; the train
+        step must mask those pixels out of the losses (regression: (1-y) with
+        y=255 produced hugely negative selective losses)."""
+        import jax
+        from selectivenet_for_semantic_segmentation_binary_tpu.config import TrainConfig
+        from selectivenet_for_semantic_segmentation_binary_tpu.models import build_model
+        from selectivenet_for_semantic_segmentation_binary_tpu.optim import build_optimizer
+        from selectivenet_for_semantic_segmentation_binary_tpu.train_lib import (
+            create_state,
+            make_train_step,
+        )
+
+        cfg = TrainConfig(model_arch="UNet_B", selective=True, loss="BCElogit",
+                          batch_size=4, patch_size=16, compute_dtype="float32",
+                          drop_last=False)
+        model = build_model(cfg.model_arch, cfg.n_cls, cfg.selective, cfg.compute_dtype)
+        tx = build_optimizer(cfg)
+        state = create_state(cfg, model, tx, jax.random.PRNGKey(0))
+        step = make_train_step(model, cfg, tx)
+
+        x = rng.standard_normal((4, 16, 16, 3)).astype(np.float32)
+        y = (x[..., 0] > 0).astype(np.int32)
+        y[2:] = 255  # two padded samples
+        x[2:] = 0.0
+        _, metrics = step(state, {"input": jnp.asarray(x), "label": jnp.asarray(y)},
+                          1e-3, jax.random.PRNGKey(1))
+        assert float(metrics["sel_loss"]) >= 0.0
+        assert np.isfinite(float(metrics["loss"]))
+
+        # and the masked loss equals the unpadded-batch loss
+        cfg2 = TrainConfig(model_arch="UNet_B", selective=True, loss="BCElogit",
+                           batch_size=2, patch_size=16, compute_dtype="float32")
+        model2 = build_model(cfg2.model_arch, cfg2.n_cls, cfg2.selective, cfg2.compute_dtype)
+        state2 = create_state(cfg2, model2, tx, jax.random.PRNGKey(0))
+        step2 = make_train_step(model2, cfg2, tx)
+        _, m2 = step2(state2, {"input": jnp.asarray(x[:2]), "label": jnp.asarray(y[:2])},
+                      1e-3, jax.random.PRNGKey(1))
+        # Not exactly equal: train-mode BatchNorm statistics still see the
+        # padded zero samples (static shapes), slightly shifting the forward —
+        # the analog of the reference's BN seeing a smaller ragged final batch.
+        # The loss itself is masked, so the values agree closely instead of
+        # being wrecked by (1-y) = -254 terms.
+        assert float(metrics["loss"]) == pytest.approx(float(m2["loss"]), rel=2e-2)

@@ -140,3 +140,16 @@ class TestScalarMetrics:
         assert compute_IoU(label, pred, 1) == pytest.approx(2 / 3, rel=1e-4)
         assert compute_IoU(label, pred, 0) == pytest.approx(1 / 2, rel=1e-4)
         assert compute_mIOU(label, pred, 2) == pytest.approx((2 / 3 + 1 / 2) / 2, rel=1e-4)
+
+
+class TestLargeCountExactness:
+    def test_counts_beyond_f32_precision(self):
+        """Multi-chip global batches can put >2^24 pixels in one confusion
+        cell; the chunked contraction must count them exactly (regression:
+        a single f32 matmul saturates at 16,777,216)."""
+        n = 257 * 256 * 256  # 16,842,752 > 2^24
+        label = jnp.zeros((257, 256, 256), jnp.int32)
+        pred = jnp.zeros((257, 256, 256), jnp.int32)
+        cm = np.asarray(confusion_matrix_update(label, pred, 2))
+        assert cm[0, 0] == n
+        assert cm.sum() == n

@@ -134,3 +134,35 @@ class TestTrainVariants:
         )
         result = train(cfg, verbose=False)
         assert result["epoch"] == 2
+
+
+class TestSchedulerResume:
+    def test_reduce_lr_state_survives_resume(self, data_dir, tmp_path):
+        """Regression: scheduler state was saved every epoch but never
+        restored, so ReduceLR resumed at lr0 with reset counters."""
+        from selectivenet_for_semantic_segmentation_binary_tpu.optim import build_scheduler
+        from selectivenet_for_semantic_segmentation_binary_tpu.train_lib import (
+            create_state,
+            restore_if_available,
+        )
+        from selectivenet_for_semantic_segmentation_binary_tpu.models import build_model
+        from selectivenet_for_semantic_segmentation_binary_tpu.optim import build_optimizer
+        import jax
+
+        cfg = _cfg(data_dir, str(tmp_path / "model"), lr_sche="ReduceLR",
+                   patience=0, factor=0.5, n_epoch=3)
+        train(cfg, verbose=False)
+
+        model = build_model(cfg.model_arch, cfg.n_cls, cfg.selective, cfg.compute_dtype)
+        tx = build_optimizer(cfg)
+        state = create_state(cfg, model, tx, jax.random.PRNGKey(0))
+        _, epoch, sched_state = restore_if_available(cfg, state)
+        assert epoch == 3
+        assert sched_state is not None
+        sched = build_scheduler(cfg)
+        sched.load_state_dict(sched_state)
+        # patience=0 on a non-improving loss decays quickly; the restored lr
+        # must carry whatever the run reached, not reset to lr0 unless the
+        # loss actually kept improving
+        assert sched.lr <= cfg.lr
+        assert sched.last_epoch == 3
