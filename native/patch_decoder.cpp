@@ -35,6 +35,48 @@ void jpeg_error_exit(j_common_ptr cinfo) {
 }
 
 // -2: open failure, -3: decode failure, -4: unexpected dims/channels
+int decode_jpeg_rgb_u8(const char* path, uint8_t* out, int expect_h, int expect_w) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -2;
+
+  jpeg_decompress_struct cinfo;
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return -3;
+  }
+
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+
+  const int h = cinfo.output_height;
+  const int w = cinfo.output_width;
+  const int c = cinfo.output_components;
+  if (h != expect_h || w != expect_w || c != 3) {
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return -4;
+  }
+
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* dst = out + static_cast<size_t>(cinfo.output_scanline) * w * 3;
+    JSAMPROW row = dst;  // decode straight into the caller's buffer
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  fclose(f);
+  return 0;
+}
+
 int decode_jpeg_rgb01(const char* path, float* out, int expect_h, int expect_w) {
   FILE* f = fopen(path, "rb");
   if (!f) return -2;
@@ -143,6 +185,17 @@ int decode_patch_pair(const char* input_path, const char* label_path,
   return decode_png_label01(label_path, label_out, expect_h, expect_w);
 }
 
-int decoder_abi_version() { return 1; }
+// Raw-uint8 variant for the device-side preprocessing path: pixels stay
+// uint8 end-to-end (4x less host->device transfer; normalization runs on the
+// TPU), label still {0, 1}.
+int decode_patch_pair_u8(const char* input_path, const char* label_path,
+                         uint8_t* input_out, uint8_t* label_out,
+                         int expect_h, int expect_w) {
+  int rc = decode_jpeg_rgb_u8(input_path, input_out, expect_h, expect_w);
+  if (rc != 0) return rc;
+  return decode_png_label01(label_path, label_out, expect_h, expect_w);
+}
+
+int decoder_abi_version() { return 2; }
 
 }  // extern "C"

@@ -81,6 +81,7 @@ class TrainConfig:
     profile_dir: Optional[str] = None  # jax.profiler trace of the 2nd epoch
     pnt_aug: bool = False            # PartialNonTissue augmentation (data_utils.py:127)
     blankfield: bool = False         # blank-field white-balance preprocessing ("BC")
+    device_preproc: bool = True      # ship raw uint8, normalize/flip on device
 
     @property
     def n_devices(self) -> int:
@@ -135,6 +136,7 @@ class EvalConfig:
     seed: int = 42
     use_pallas: bool = True  # fused eval-metrics kernel (single-chip binary path)
     blankfield: bool = False  # blank-field white-balance preprocessing ("BC")
+    device_preproc: bool = True  # ship raw uint8, normalize on device
 
     @property
     def n_devices(self) -> int:

@@ -79,6 +79,26 @@ class PatchDataset:
     def patch_dir(self) -> str:
         return os.path.join(self.data_dir, f"{self.patch_mag}x_{self.patch_size}")
 
+    def get_raw(self, index: int):
+        """Raw decode for the device-side preprocessing path: input uint8 RGB
+        (unscaled), label uint8 {0, 1}; no stain conversion, no transforms.
+        Host work reduces to pure (GIL-released) decode, and the batch ships
+        to the device at 1/4 the float32 transfer size."""
+        inp_path = os.path.join(self.patch_dir, self.input_list[index])
+        lab_path = os.path.join(self.patch_dir, self.label_list[index])
+        if self._use_native:
+            from . import native_decoder
+
+            try:
+                return native_decoder.decode_patch_pair_u8(
+                    inp_path, lab_path, self.patch_size
+                )
+            except RuntimeError:
+                pass  # odd file -> PIL below
+        inp = np.asarray(Image.open(inp_path), dtype=np.uint8)
+        lab = (np.asarray(Image.open(lab_path).convert("L")) / 255.0).astype(np.uint8)
+        return inp, lab
+
     def __getitem__(self, index: int, rng: Optional[np.random.Generator] = None):
         assert len(self.input_list) == len(self.label_list)
         assert (

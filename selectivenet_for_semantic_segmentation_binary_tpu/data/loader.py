@@ -45,12 +45,23 @@ class PatchLoader:
         prefetch: int = 2,
         process_index: int = 0,
         process_count: int = 1,
+        device_preproc: bool = False,
+        random_flip: bool = False,
     ):
         """``process_index``/``process_count``: multi-host mode — this host
         decodes only its contiguous 1/process_count slice of every global
         batch and the global array is stitched with
         jax.make_array_from_process_local_data (parallel/multihost.py).
-        batch_size is always the GLOBAL batch size."""
+        batch_size is always the GLOBAL batch size.
+
+        ``device_preproc``: ship raw uint8 pixels + per-sample flip bits and
+        let the jitted step normalize/augment on the TPU. Host work shrinks
+        to pure (GIL-released) decode and host->device traffic drops 4x —
+        the 16-thread host pipeline measured ~325 patches/s with in-Python
+        transforms vs pure-decode rates well above it. Only valid when the
+        dataset needs no host-side color math (RGB input, no blankfield).
+        ``random_flip`` generates the deterministic per-sample flip bits the
+        device applies (training augmentation)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -61,8 +72,12 @@ class PatchLoader:
         self.prefetch = max(1, prefetch)
         self.process_index = process_index
         self.process_count = process_count
+        self.device_preproc = device_preproc
+        self.random_flip = random_flip
         if batch_size % max(1, process_count) != 0:
             raise ValueError("batch_size must be divisible by process_count")
+        if device_preproc and not hasattr(dataset, "get_raw"):
+            raise ValueError("device_preproc requires a dataset with get_raw()")
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -83,6 +98,15 @@ class PatchLoader:
 
     def _load_sample(self, index: int):
         rng = np.random.default_rng([self.seed, self._epoch, int(index)])
+        if self.device_preproc:
+            inp, lab = self.dataset.get_raw(int(index))
+            flips = (rng.random(2) > 0.5) if self.random_flip else np.zeros(2, bool)
+            if hasattr(self.dataset, "input_list"):
+                sid = self.dataset.input_list[int(index)].split("_input")[0]
+            else:
+                sid = str(index)
+            return {"input": inp, "label": lab, "flips": flips.astype(np.uint8),
+                    "id": sid}
         try:
             return self.dataset.__getitem__(int(index), rng=rng)
         except TypeError:
@@ -102,21 +126,34 @@ class PatchLoader:
             local_rows = self.batch_size
 
         samples = list(pool.map(self._load_sample, local_indices))
+        inp_dtype = np.uint8 if self.device_preproc else np.float32
+        lab_dtype = np.uint8 if self.device_preproc else np.int32
         if samples:
-            inp = np.stack([s["input"] for s in samples]).astype(np.float32)
-            lab = np.stack([s["label"] for s in samples]).astype(np.int32)
+            inp = np.stack([s["input"] for s in samples]).astype(inp_dtype)
+            lab = np.stack([s["label"] for s in samples]).astype(lab_dtype)
         else:  # this host's slice is pure padding
             shape = tuple(np.shape(self.dataset[0]["input"]))
-            inp = np.zeros((0,) + shape, np.float32)
-            lab = np.zeros((0,) + shape[:-1], np.int32)
+            inp = np.zeros((0,) + shape, inp_dtype)
+            lab = np.zeros((0,) + shape[:-1], lab_dtype)
         ids = [s.get("id", str(i)) for s, i in zip(samples, local_indices)]
+        flips = None
+        if self.device_preproc:
+            flips = (
+                np.stack([s["flips"] for s in samples]).astype(np.uint8)
+                if samples else np.zeros((0, 2), np.uint8)
+            )
 
         if inp.shape[0] < local_rows:  # pad the final partial batch
             pad = local_rows - inp.shape[0]
-            inp = np.concatenate([inp, np.zeros((pad,) + inp.shape[1:], np.float32)])
-            lab = np.concatenate([lab, np.full((pad,) + lab.shape[1:], PAD_LABEL, np.int32)])
+            inp = np.concatenate([inp, np.zeros((pad,) + inp.shape[1:], inp_dtype)])
+            # PAD_LABEL = 255 fits uint8 exactly
+            lab = np.concatenate([lab, np.full((pad,) + lab.shape[1:], PAD_LABEL, lab_dtype)])
+            if flips is not None:
+                flips = np.concatenate([flips, np.zeros((pad, 2), np.uint8)])
 
         batch = {"input": inp, "label": lab}
+        if flips is not None:
+            batch["flips"] = flips
         if self.sharding is not None:
             from ..parallel.multihost import put_global
 

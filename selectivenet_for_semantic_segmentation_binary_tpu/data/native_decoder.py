@@ -44,6 +44,14 @@ def _build() -> bool:
         return False
 
 
+def _stale() -> bool:
+    src = os.path.join(_NATIVE_DIR, "patch_decoder.cpp")
+    try:
+        return os.path.getmtime(_SO_PATH) < os.path.getmtime(src)
+    except OSError:
+        return True
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _build_failed
     with _lib_lock:
@@ -51,9 +59,10 @@ def _load() -> Optional[ctypes.CDLL]:
             return _lib
         if _build_failed:
             return None
-        if not os.path.exists(_SO_PATH) and not _build():
-            _build_failed = True
-            return None
+        if (not os.path.exists(_SO_PATH) or _stale()) and not _build():
+            if not os.path.exists(_SO_PATH):
+                _build_failed = True
+                return None
         try:
             lib = ctypes.CDLL(_SO_PATH)
             lib.decode_patch_pair.restype = ctypes.c_int
@@ -62,7 +71,13 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
                 ctypes.c_int, ctypes.c_int,
             ]
-            if lib.decoder_abi_version() != 1:
+            lib.decode_patch_pair_u8.restype = ctypes.c_int
+            lib.decode_patch_pair_u8.argtypes = [
+                ctypes.c_char_p, ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int, ctypes.c_int,
+            ]
+            if lib.decoder_abi_version() != 2:
                 raise OSError("ABI mismatch")
         except (OSError, AttributeError):
             # missing symbols (a stale .so predating the ABI marker) must
@@ -90,6 +105,27 @@ def decode_patch_pair(
     rc = lib.decode_patch_pair(
         input_path.encode(), label_path.encode(),
         inp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        lab.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        size, size,
+    )
+    if rc != 0:
+        raise RuntimeError(f"native decode failed (code {rc}) for {input_path}")
+    return inp, lab
+
+
+def decode_patch_pair_u8(
+    input_path: str, label_path: str, size: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Raw-uint8 decode for the device-side preprocessing path: input uint8
+    RGB (no scaling), label uint8 {0, 1}."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native decoder unavailable")
+    inp = np.empty((size, size, 3), np.uint8)
+    lab = np.empty((size, size), np.uint8)
+    rc = lib.decode_patch_pair_u8(
+        input_path.encode(), label_path.encode(),
+        inp.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         lab.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         size, size,
     )

@@ -33,6 +33,7 @@ from .data import Compose, Normalization, PatchDataset, PatchLoader, ToArray, co
 from .models import build_model
 from .ops.confusion import confusion_matrix_update
 from .parallel.mesh import batch_sharding, make_mesh, replicate
+from .train_lib import device_preprocess
 from .utils.checkpoint import list_checkpoints, load_net_checkpoint
 from .utils.metrics import Evaluator
 
@@ -106,8 +107,7 @@ def make_eval_step(model, cfg: EvalConfig, n_models: int,
         return out, None
 
     def step(variables, batch):
-        x = batch["input"]
-        label = batch["label"].astype(jnp.int32)
+        x, label = device_preprocess(batch)
         valid_px = (label >= 0) & (label < cfg.n_cls)
 
         if n_models == 1:
@@ -194,17 +194,30 @@ def evaluate(cfg: EvalConfig, loader: Optional[PatchLoader] = None,
 
     if loader is None:
         test_list = construct_test(cfg.data_dir, test_fold=cfg.test_fold)
-        pre = []
-        if getattr(cfg, "blankfield", False):
-            from .data.transforms import BlankfieldCorrection
+        raw_mode = (
+            getattr(cfg, "device_preproc", True)
+            and cfg.input_type == "RGB"
+            and not getattr(cfg, "blankfield", False)
+        )
+        if raw_mode:
+            ds = PatchDataset(cfg.data_dir, test_list, cfg.patch_mag,
+                              cfg.patch_size, cfg.input_type)
+            loader = PatchLoader(ds, cfg.batch_size, shuffle=False,
+                                 num_workers=cfg.num_workers, drop_last=False,
+                                 seed=cfg.seed, sharding=batch_sharding(mesh),
+                                 device_preproc=True, random_flip=False)
+        else:
+            pre = []
+            if getattr(cfg, "blankfield", False):
+                from .data.transforms import BlankfieldCorrection
 
-            pre.append(BlankfieldCorrection())
-        transform = Compose(pre + [Normalization(0.5, 0.5), ToArray()])
-        ds = PatchDataset(cfg.data_dir, test_list, cfg.patch_mag, cfg.patch_size,
-                          cfg.input_type, transform=transform)
-        loader = PatchLoader(ds, cfg.batch_size, shuffle=False,
-                             num_workers=cfg.num_workers, drop_last=False,
-                             seed=cfg.seed, sharding=batch_sharding(mesh))
+                pre.append(BlankfieldCorrection())
+            transform = Compose(pre + [Normalization(0.5, 0.5), ToArray()])
+            ds = PatchDataset(cfg.data_dir, test_list, cfg.patch_mag, cfg.patch_size,
+                              cfg.input_type, transform=transform)
+            loader = PatchLoader(ds, cfg.batch_size, shuffle=False,
+                                 num_workers=cfg.num_workers, drop_last=False,
+                                 seed=cfg.seed, sharding=batch_sharding(mesh))
         if cfg.info_print:
             print(f"Load Test Dataset ({cfg.test_fold}-fold)")
             print(f"    patch mag: {cfg.patch_mag}")
@@ -226,7 +239,10 @@ def evaluate(cfg: EvalConfig, loader: Optional[PatchLoader] = None,
     total_reject = 0
     reject_metrics = []
     for batch in loader:
-        metrics = step(variables, {"input": batch["input"], "label": batch["label"]})
+        device_batch = {"input": batch["input"], "label": batch["label"]}
+        if "flips" in batch:
+            device_batch["flips"] = batch["flips"]
+        metrics = step(variables, device_batch)
         device_cms.append(metrics["cm"])
         if cfg.select_eval:
             reject_metrics.append((metrics["n_pix"], metrics["n_reject"]))

@@ -73,6 +73,33 @@ class TrainState(struct.PyTreeNode):
 # step construction
 # ---------------------------------------------------------------------------
 
+def device_preprocess(batch):
+    """Normalize + augment ON DEVICE when the loader ships raw uint8 batches.
+
+    The host pipeline's in-Python transforms are GIL-bound (16 threads measured
+    ~325 patches/s) and float32 batches cost 4x the transfer of uint8; with
+    device_preproc the host only decodes, and this function — traced into the
+    jitted step — does /255, (x-0.5)/0.5 and the per-sample flips the loader
+    chose (bit-identical math to data/transforms.py Normalization+RandomFlip).
+    float batches pass through untouched, so both pipelines share the steps.
+    """
+    x = batch["input"]
+    label = batch["label"].astype(jnp.int32)
+    if x.dtype == jnp.uint8:
+        x = x.astype(jnp.float32) * (1.0 / 255.0)
+        x = (x - 0.5) / 0.5
+    if "flips" in batch:
+        fl = batch["flips"].astype(bool)
+        lr = fl[:, 0][:, None, None]
+        ud = fl[:, 1][:, None, None]
+        # reference RandomFlip: fliplr = width axis, flipud = height axis
+        x = jnp.where(lr[..., None], jnp.flip(x, axis=2), x)
+        x = jnp.where(ud[..., None], jnp.flip(x, axis=1), x)
+        label = jnp.where(lr, jnp.flip(label, axis=2), label)
+        label = jnp.where(ud, jnp.flip(label, axis=1), label)
+    return x, label
+
+
 def _predictions(cfg, output, selection):
     """Threshold logits into class maps, on device (reference train.py:216-236).
 
@@ -144,8 +171,7 @@ def make_train_step(model, cfg: TrainConfig, tx) -> Callable:
     use_bce = "BCE" in cfg.loss
 
     def step(state: TrainState, batch, lr, rng):
-        x = batch["input"]
-        label_int = batch["label"].astype(jnp.int32)
+        x, label_int = device_preprocess(batch)
         label = label_int.astype(jnp.float32) if use_bce else label_int
         # padding exists only when drop_last is off; the mask costs a few
         # extra reductions, so it is built only in that configuration
@@ -191,8 +217,7 @@ def make_valid_step(model, cfg: TrainConfig) -> Callable:
     use_bce = "BCE" in cfg.loss
 
     def step(state: TrainState, batch):
-        x = batch["input"]
-        label_int = batch["label"].astype(jnp.int32)
+        x, label_int = device_preprocess(batch)
         label = label_int.astype(jnp.float32) if use_bce else label_int
         mask = (label_int >= 0) & (label_int < cfg.n_cls)  # padded pixels excluded
         variables = {"params": state.params, "batch_stats": state.batch_stats}
@@ -282,6 +307,8 @@ def _run_epoch(cfg, loader, step_fn, state, lr, rng, train: bool):
 
     for i, batch in enumerate(loader):
         device_batch = {"input": batch["input"], "label": batch["label"]}
+        if "flips" in batch:
+            device_batch["flips"] = batch["flips"]
         if train:
             rng, sub = jax.random.split(rng)
             state, metrics = step_fn(state, device_batch, lr, sub)
@@ -322,7 +349,10 @@ def _run_epoch(cfg, loader, step_fn, state, lr, rng, train: bool):
 def _log_epoch_images(writer, cfg, batch, metrics, epoch):
     """First-5 input/label/pred(/selection) panels (reference train.py:266-271)."""
     inp = np.asarray(jax.device_get(batch["input"]))[:5]
-    inp = inp * 0.5 + 0.5  # denormalize (train.py:139)
+    if inp.dtype == np.uint8:  # raw device-preproc batch: already display-ready
+        inp = inp.astype(np.float32) / 255.0
+    else:
+        inp = inp * 0.5 + 0.5  # denormalize (train.py:139)
     label = np.asarray(jax.device_get(batch["label"]))[:5]
     writer.add_images("input", inp, epoch)
     writer.add_images("label", np.expand_dims((label * 255).astype(np.uint8), -1), epoch)
@@ -335,9 +365,37 @@ def _log_epoch_images(writer, cfg, batch, metrics, epoch):
 
 
 def make_loaders(cfg: TrainConfig, mesh) -> Tuple[PatchLoader, PatchLoader]:
-    """Fold lists + datasets + sharded loaders (reference train.py:367-381)."""
+    """Fold lists + datasets + sharded loaders (reference train.py:367-381).
+
+    When the pipeline needs no host-side color math (plain RGB, no
+    blankfield/PNT), raw uint8 batches + device-side normalize/flip are used
+    (see device_preprocess) — the host then only decodes.
+    """
     train_list, valid_list = construct_train_valid(cfg.data_dir, test_fold=cfg.fold,
                                                    seed=cfg.seed)
+    raw_mode = (
+        getattr(cfg, "device_preproc", True)
+        and cfg.input_type == "RGB"
+        and not getattr(cfg, "blankfield", False)
+        and not getattr(cfg, "pnt_aug", False)
+    )
+    sharding = batch_sharding(mesh)
+
+    if raw_mode:
+        ds_train = PatchDataset(cfg.data_dir, train_list, cfg.patch_mag,
+                                cfg.patch_size, cfg.input_type)
+        ds_valid = PatchDataset(cfg.data_dir, valid_list, cfg.patch_mag,
+                                cfg.patch_size, cfg.input_type)
+        loader_train = PatchLoader(ds_train, cfg.batch_size, shuffle=True,
+                                   num_workers=cfg.num_workers, drop_last=cfg.drop_last,
+                                   seed=cfg.seed, sharding=sharding,
+                                   device_preproc=True, random_flip=True)
+        loader_valid = PatchLoader(ds_valid, cfg.batch_size, shuffle=False,
+                                   num_workers=cfg.num_workers, drop_last=False,
+                                   seed=cfg.seed, sharding=sharding,
+                                   device_preproc=True, random_flip=False)
+        return loader_train, loader_valid
+
     pre = []
     if getattr(cfg, "blankfield", False):
         from .data.transforms import BlankfieldCorrection
@@ -354,7 +412,6 @@ def make_loaders(cfg: TrainConfig, mesh) -> Tuple[PatchLoader, PatchLoader]:
                             cfg.input_type, transform=tf_train)
     ds_valid = PatchDataset(cfg.data_dir, valid_list, cfg.patch_mag, cfg.patch_size,
                             cfg.input_type, transform=tf_valid)
-    sharding = batch_sharding(mesh)
     loader_train = PatchLoader(ds_train, cfg.batch_size, shuffle=True,
                                num_workers=cfg.num_workers, drop_last=cfg.drop_last,
                                seed=cfg.seed, sharding=sharding)
