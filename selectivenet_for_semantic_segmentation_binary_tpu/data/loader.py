@@ -154,26 +154,40 @@ class PatchLoader:
         batch = {"input": inp, "label": lab}
         if flips is not None:
             batch["flips"] = flips
-        if self.sharding is not None:
-            from ..parallel.multihost import put_global
-
-            batch = {k: put_global(v, self.sharding) for k, v in batch.items()}
         batch["id"] = ids
         batch["nvalid"] = nvalid
         return batch
+
+    def _transfer(self, batch):
+        """device_put the array fields (sharded across the mesh / stitched
+        across hosts); runs on its own pipeline stage so the H2D transfer of
+        batch N overlaps the decode of batch N+1."""
+        if self.sharding is None:
+            return batch
+        from ..parallel.multihost import put_global
+
+        out = {
+            k: put_global(v, self.sharding) if isinstance(v, np.ndarray) else v
+            for k, v in batch.items()
+        }
+        return out
 
     def __iter__(self) -> Iterator[dict]:
         order = self._order()
         nb = len(self)
         batches = [order[i * self.batch_size : (i + 1) * self.batch_size] for i in range(nb)]
 
-        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        # two-stage pipeline: decode thread -> raw_q -> transfer thread -> dev_q
+        # (a single producer serialized decode then device_put per batch; the
+        # stages overlap them, which matters when H2D transfer is slow)
+        raw_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        dev_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
-        def put_or_stop(item) -> bool:
+        def put_or_stop(q: queue.Queue, item) -> bool:
             """Bounded put that re-checks stop: a consumer abandoning iteration
-            with a full queue must not strand the producer (and its thread
-            pool) in q.put forever."""
+            with full queues must not strand the pipeline threads (and the
+            decode pool) in q.put forever."""
             while not stop.is_set():
                 try:
                     q.put(item, timeout=0.1)
@@ -182,23 +196,45 @@ class PatchLoader:
                     continue
             return False
 
-        def producer():
+        def get_or_stop(q: queue.Queue):
+            while not stop.is_set():
+                try:
+                    return q.get(timeout=0.1)
+                except queue.Empty:
+                    continue
+            return None
+
+        def decoder():
             try:
                 with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
                     for b in batches:
                         if stop.is_set():
                             return
-                        if not put_or_stop(self._assemble(pool, b)):
+                        if not put_or_stop(raw_q, self._assemble(pool, b)):
                             return
-                put_or_stop(_SENTINEL)
-            except BaseException as e:  # propagate decode errors to the consumer
-                put_or_stop(e)
+                put_or_stop(raw_q, _SENTINEL)
+            except BaseException as e:  # propagate decode errors downstream
+                put_or_stop(raw_q, e)
 
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
+        def transferrer():
+            try:
+                while True:
+                    item = get_or_stop(raw_q)
+                    if item is None:
+                        return
+                    if item is _SENTINEL or isinstance(item, BaseException):
+                        put_or_stop(dev_q, item)
+                        return
+                    if not put_or_stop(dev_q, self._transfer(item)):
+                        return
+            except BaseException as e:
+                put_or_stop(dev_q, e)
+
+        threading.Thread(target=decoder, daemon=True).start()
+        threading.Thread(target=transferrer, daemon=True).start()
         try:
             while True:
-                item = q.get()
+                item = dev_q.get()
                 if item is _SENTINEL:
                     return
                 if isinstance(item, BaseException):
