@@ -65,7 +65,7 @@ class PatchDataset:
         input_list, label_list = [], []
         for f in data_list:
             assert f[0].split("_input")[0] == f[1].split("_label")[0], (
-                f"check the pairness btw input {f[0]} and label {f[1]}"
+                f"input/label filename stems differ: {f[0]} vs {f[1]}"
             )
             input_list.append(f[0])
             label_list.append(f[1])
@@ -104,7 +104,10 @@ class PatchDataset:
         assert (
             self.input_list[index].split("_input")[0]
             == self.label_list[index].split("_label")[0]
-        ), f"image {self.input_list[index]}, label {self.label_list[index]}"
+        ), (
+            f"unpaired entry at index {index}: "
+            f"{self.input_list[index]} vs {self.label_list[index]}"
+        )
 
         inp_path = os.path.join(self.patch_dir, self.input_list[index])
         lab_path = os.path.join(self.patch_dir, self.label_list[index])

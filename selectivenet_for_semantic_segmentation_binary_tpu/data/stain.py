@@ -9,7 +9,7 @@ classic Ruifrok-Johnston color deconvolution:
     reference's hard-coded Hematoxylin rescaling constants h_min=-0.66781543 /
     h_max=1.87798274 (data_utils.py:23) are exactly the extrema of this
     unclamped projection over the RGB cube — reproduced to 8 digits by this
-    implementation (see tests/test_stain.py), which pins the formula.
+    implementation (see tests/test_data.py::TestStain), which pins the formula.
   * ``combine_stains``: the inverse rendering used by H_RGB.
 
 ``RGB2GH`` builds the 2-channel Gray+Hematoxylin input for the GH model variant

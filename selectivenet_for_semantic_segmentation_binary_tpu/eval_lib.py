@@ -4,7 +4,8 @@ Capability parity with reference eval.py:76-280, re-designed for TPU:
 
 * checkpoint discovery: every .ckpt/.pth in model_dir is loaded; one
   model_arch entry is replicated across all checkpoints (eval.py:116-120);
-* single model: forward, optional 'sigmoid'/'clip'/'minmax' rescale, cut_off
+* single model: forward, sigmoid-if-requested (only 'sigmoid' affects the
+  threshold stage; 'clip'/'minmax' are accepted no-ops there), cut_off
   threshold (eval.py:201-233);
 * ensemble (>1 checkpoint): instead of looping nets per batch on the host
   (eval.py:209-222), the checkpoints are STACKED into one leading-axis pytree
@@ -39,10 +40,11 @@ from .utils.metrics import Evaluator
 
 
 def _rescale(output: jax.Array, mode: str, valid=None) -> jax.Array:
-    """'None' | 'clip' | 'sigmoid' | 'minmax' output rescaling
-    (reference eval.py:174-176).
+    """'None' | 'clip' | 'sigmoid' | 'minmax' output rescaling, used for the
+    per-member ensemble rescale where all four modes are real
+    (reference eval.py:209-222).
 
-    ``valid`` (same shape, bool) restricts the minmax extrema to real pixels:
+    ``valid`` (bool, batch-shaped) restricts the minmax extrema to real pixels:
     the static-shape final batch is padded here, whereas the reference has no
     padding, and padded rows' garbage logits must not shift the rescale.
     """
@@ -52,11 +54,23 @@ def _rescale(output: jax.Array, mode: str, valid=None) -> jax.Array:
         return jnp.clip(output, 0.0, 1.0)
     if mode == "minmax":
         if valid is not None:
+            while valid.ndim < output.ndim:
+                valid = valid[..., None]
             lo = jnp.min(jnp.where(valid, output, jnp.inf))
             hi = jnp.max(jnp.where(valid, output, -jnp.inf))
         else:
             lo, hi = jnp.min(output), jnp.max(output)
         return (output - lo) / (hi - lo)
+    return output
+
+
+def _threshold_scale(output: jax.Array, mode: str) -> jax.Array:
+    """Rescale applied at the threshold stage (single-model output, ensemble
+    MEAN, and the selection map): the reference only implements the 'sigmoid'
+    branch here — 'None'/'clip'/'minmax' are accepted no-ops
+    (eval.py:230-233, 241-243)."""
+    if mode == "sigmoid":
+        return jax.nn.sigmoid(output)
     return output
 
 
@@ -116,11 +130,11 @@ def make_eval_step(model, cfg: EvalConfig, n_models: int,
                 use_pallas
                 and output.ndim == 3
                 and cfg.n_cls == 2
-                and cfg.single_scale in ("sigmoid", "None", "clip")
                 and (selection is not None or not select_eval)
             ):
-                # clip(x,0,1) > c is equivalent to x > c for c in (0,1), so
-                # 'clip' and 'None' share the raw-threshold kernel mode.
+                # Only 'sigmoid' affects the threshold stage (the reference's
+                # clip/minmax branches are no-ops there, eval.py:230-233), so
+                # every non-sigmoid mode shares the raw-threshold kernel mode.
                 from .ops.pallas_metrics import fused_eval_metrics
 
                 res = fused_eval_metrics(
@@ -134,22 +148,22 @@ def make_eval_step(model, cfg: EvalConfig, n_models: int,
                 if select_eval:
                     metrics["n_reject"] = res["n_reject"]
                 return metrics
-            if output.ndim == 3:
-                output = _rescale(output, cfg.single_scale, valid=valid_px)
         else:
             # stacked-params ensemble: vmap over the member axis, mean on device.
             # The rescale is per member (reference eval.py:213-220 rescales each
             # net's output before averaging) — matters for 'minmax', whose
             # min/max must not couple members.
             outputs, _ = jax.vmap(lambda v: forward_single(v, x))(variables)
-            if outputs.ndim == 4:
-                outputs = jax.vmap(
-                    lambda o: _rescale(o, cfg.ens_scale, valid=valid_px)
-                )(outputs)
+            outputs = jax.vmap(
+                lambda o: _rescale(o, cfg.ens_scale, valid=valid_px)
+            )(outputs)
             output = jnp.mean(outputs, axis=0)
             selection = None
 
-        if output.ndim == 3:  # binary head: threshold at cut_off
+        if output.ndim == 3:  # binary head: sigmoid-if-asked, threshold at cut_off
+            # single_scale applies to the ensemble MEAN as well — the reference
+            # reaches eval.py:230-233 on both paths.
+            output = _threshold_scale(output, cfg.single_scale)
             pred = (output > cfg.cut_off).astype(jnp.int32)
         else:
             pred = jnp.argmax(output, axis=-1).astype(jnp.int32)
@@ -163,7 +177,7 @@ def make_eval_step(model, cfg: EvalConfig, n_models: int,
                 raise ValueError("--select_eval 1 requires --selective 1 and a "
                                  "selective checkpoint")
             if selection.ndim == 3:
-                s = _rescale(selection, cfg.single_scale, valid=valid_px)
+                s = _threshold_scale(selection, cfg.single_scale)
                 sel_mask = (s > cfg.s_cut_off).astype(jnp.int32)
             else:
                 sel_mask = jnp.argmax(selection, axis=-1).astype(jnp.int32)

@@ -4,9 +4,9 @@ The evaluation hot loop (reference eval.py:191-251) per batch computes
 sigmoid -> threshold -> selection sigmoid -> threshold -> validity mask ->
 confusion counting. As separate XLA ops that is several full passes over the
 (N, H, W) logit maps through HBM; this kernel fuses the whole post-forward
-metric pipeline into ONE read of each logit map, accumulating the four
-confusion-matrix cells, the reject count and the valid-pixel count in VMEM
-across grid steps.
+metric pipeline into ONE read of each logit map, emitting per-tile partial
+counts (confusion-matrix cells, reject count, valid-pixel count) that the
+caller integer-sums — exact for arbitrarily large batches.
 
 Scope: binary heads (n_cls == 2, the repo's namesake task). The general-C XLA
 path (ops/confusion.py) remains the fallback — eval_lib picks automatically.
@@ -45,12 +45,7 @@ def _metrics_kernel(f_ref, g_ref, l_ref, out_ref, *, apply_sigmoid: bool,
                     selective: bool, cut_off: float, s_cut_off: float):
     import jax.experimental.pallas as pl
 
-    i = pl.program_id(0)
-
-    @pl.when(i == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
-
+    del pl
     x = f_ref[:].astype(jnp.float32)
     lab = l_ref[:].astype(jnp.int32)
     prob = jax.nn.sigmoid(x) if apply_sigmoid else x
@@ -87,7 +82,11 @@ def _metrics_kernel(f_ref, g_ref, l_ref, out_ref, *, apply_sigmoid: bool,
         + jnp.where(lane == 4, rejects, 0.0)
         + jnp.where(lane == 5, nvalid, 0.0)
     )
-    out_ref[:] = out_ref[:] + partial
+    # Per-tile partials, NOT a running f32 accumulator: each partial is
+    # <= TILE_ROWS*LANES = 65536, exact in float32; the caller integer-sums
+    # the rows so counts stay exact for arbitrarily large batches (a running
+    # f32 total would silently lose counts past 2^24 pixels per cell).
+    out_ref[:] = partial
 
 
 @functools.partial(
@@ -140,14 +139,16 @@ def fused_eval_metrics(
             pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, LANES), jnp.float32),
+        out_specs=pl.BlockSpec((1, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, LANES), jnp.float32),
         interpret=interpret,
     )(f2, g2, l2)
 
-    cm = jnp.stack([out[0, 0], out[0, 1], out[0, 2], out[0, 3]]).reshape(2, 2)
+    # integer-sum the exact per-tile partials (see kernel comment)
+    tot = jnp.sum(out.astype(jnp.int32), axis=0)
+    cm = jnp.stack([tot[0], tot[1], tot[2], tot[3]]).reshape(2, 2)
     return {
-        "cm": cm.astype(jnp.int32),
-        "n_reject": out[0, 4].astype(jnp.int32),
-        "n_pix": out[0, 5].astype(jnp.int32),
+        "cm": cm,
+        "n_reject": tot[4],
+        "n_pix": tot[5],
     }

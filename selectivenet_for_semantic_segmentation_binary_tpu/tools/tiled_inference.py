@@ -90,11 +90,11 @@ def tiled_inference(
             jobs.append((r0, c0, ch, cw, wr, wc))
 
     image = jnp.asarray(image)
-    windows = np.zeros((len(jobs),), dtype=object)
     batched_fn = jax.jit(apply_fn)
 
     outputs = None
     n_outputs = None
+    as_tuple = False
     for lo in range(0, len(jobs), batch_size):
         chunk_jobs = jobs[lo : lo + batch_size]
         batch = jnp.stack([

@@ -354,6 +354,19 @@ def _log_epoch_images(writer, cfg, batch, metrics, epoch):
     else:
         inp = inp * 0.5 + 0.5  # denormalize (train.py:139)
     label = np.asarray(jax.device_get(batch["label"]))[:5]
+    if "flips" in batch:
+        # device_preproc mode: pred/selection come from the jitted step AFTER
+        # the per-sample flips were applied on device — mirror the same flips
+        # here so the logged input/label panels stay aligned with pred.
+        inp, label = inp.copy(), label.copy()
+        flips = np.asarray(jax.device_get(batch["flips"]))[:5].astype(bool)
+        for i, (lr, ud) in enumerate(flips):
+            if lr:  # width axis (device_preprocess axis=2)
+                inp[i] = inp[i][:, ::-1]
+                label[i] = label[i][:, ::-1]
+            if ud:  # height axis (device_preprocess axis=1)
+                inp[i] = inp[i][::-1]
+                label[i] = label[i][::-1]
     writer.add_images("input", inp, epoch)
     writer.add_images("label", np.expand_dims((label * 255).astype(np.uint8), -1), epoch)
     if "pred" in metrics:

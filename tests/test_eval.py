@@ -142,6 +142,69 @@ class TestEvalPaths:
         got = np.mean(1.0 / (1.0 + np.exp(-np.asarray(member_out))), axis=0)
         np.testing.assert_allclose(got, expected_mean, rtol=1e-5, atol=1e-6)
 
+    def test_ensemble_single_scale_reference_parity(self, rng):
+        """Reference parity for the default flag combo single_scale='sigmoid',
+        ens_scale='None': eval.py:209-233 averages RAW member logits, applies
+        the single_scale sigmoid to the MEAN, then thresholds at cut_off.
+        The jitted step's confusion matrix must match that numpy pipeline."""
+        model = build_model("UNet_B", selective=False, compute_dtype="float32")
+        dummy = jnp.zeros((1, 32, 32, 3), jnp.float32)
+        variables_list = [
+            dict(model.init(jax.random.PRNGKey(k), dummy, train=False))
+            for k in (0, 1)
+        ]
+        cfg = EvalConfig(
+            model_arch=["UNet_B"], selective=False, select_eval=False,
+            ens_scale="None", single_scale="sigmoid", cut_off=0.5,
+            compute_dtype="float32",
+        )
+
+        x = rng.standard_normal((4, 32, 32, 3)).astype(np.float32)
+        label = (rng.random((4, 32, 32)) > 0.5).astype(np.int32)
+
+        # reference pipeline in numpy (eval.py:209-233)
+        outs = [
+            np.asarray(model.apply(
+                {"params": v["params"], "batch_stats": v["batch_stats"]},
+                jnp.asarray(x), train=False))
+            for v in variables_list
+        ]
+        mean_logits = np.mean(outs, axis=0)
+        prob = 1.0 / (1.0 + np.exp(-mean_logits))   # single_scale sigmoid on MEAN
+        ref_pred = (prob > 0.5).astype(np.int32)
+        ref_cm = np.zeros((2, 2), np.int64)
+        for t, p in zip(label.ravel(), ref_pred.ravel()):
+            ref_cm[t, p] += 1
+
+        step = make_eval_step(model, cfg, n_models=len(variables_list))
+        metrics = step(stack_variables(variables_list),
+                       {"input": jnp.asarray(x), "label": jnp.asarray(label)})
+        np.testing.assert_array_equal(np.asarray(metrics["cm"]), ref_cm)
+
+    def test_minmax_single_scale_is_threshold_noop(self, trained_selective, rng):
+        """The reference only implements the 'sigmoid' branch at the threshold
+        stage (eval.py:230-233): --single_scale minmax must produce the same
+        predictions as 'None' on the single-model path."""
+        ckpt_dir = f"{trained_selective}/1-fold/checkpoint"
+        model, variables_list = load_models(
+            EvalConfig(model_dir=ckpt_dir, model_arch=["UNet_B"], selective=True,
+                       compute_dtype="float32")
+        )
+        model = build_model("UNet_B", selective=True, compute_dtype="float32")
+        x = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+        label = (rng.random((2, 32, 32)) > 0.5).astype(np.int32)
+        batch = {"input": jnp.asarray(x), "label": jnp.asarray(label)}
+
+        cms = []
+        for mode in ("minmax", "None"):
+            cfg = EvalConfig(
+                model_arch=["UNet_B"], selective=True, select_eval=False,
+                single_scale=mode, compute_dtype="float32",
+            )
+            step = make_eval_step(model, cfg, n_models=1)
+            cms.append(np.asarray(step(variables_list[0], batch)["cm"]))
+        np.testing.assert_array_equal(cms[0], cms[1])
+
     def test_selective_ensemble_rejected(self, trained_selective):
         cfg = EvalConfig(
             model_dir=f"{trained_selective}/1-fold/checkpoint",
