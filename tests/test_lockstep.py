@@ -1,0 +1,189 @@
+"""Torch-oracle LOCKSTEP training equivalence.
+
+The strongest attainable proxy for the reference's unmatchable real-data
+headline row (README.md:85, in-coverage mIoU 0.9612): export this framework's
+init as a reference-named .pth, train the reference objective for N steps in
+torch (CPU) and in this framework on IDENTICAL batches, and assert the
+per-step loss / coverage / aux-loss trajectories agree within fp32 tolerance.
+Forward/loss/optimizer parity are each pinned elsewhere in isolation; this
+test pins their COMPOSITION — the full train loop semantics of reference
+train.py:183-241 (selective UNet_B, BCElogit, Adam) including training-mode
+BatchNorm statistics and the composite aux+selective objective
+(selective_loss.py:58-85, train.py:193-201).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from selectivenet_for_semantic_segmentation_binary_tpu.config import TrainConfig
+from selectivenet_for_semantic_segmentation_binary_tpu.models import build_model
+from selectivenet_for_semantic_segmentation_binary_tpu.optim import build_optimizer
+from selectivenet_for_semantic_segmentation_binary_tpu.train_lib import (
+    create_state,
+    make_train_step,
+)
+from selectivenet_for_semantic_segmentation_binary_tpu.utils.checkpoint import (
+    export_torch_checkpoint,
+)
+
+N_STEPS = 4
+BATCH, SIZE = 4, 32
+LR = 1e-3
+S_LAMB = 2.0
+TARGET_COVERAGE = 0.8
+
+
+def _build_torch_unetb(torch):
+    """UNet_B as a torch module with the reference's layer names
+    (model.py:19-103), so the exported .pth loads directly. Oracle
+    implementation written from the topology spec, not copied."""
+    import torch.nn as nn
+
+    def cbr(cin, cout):
+        return nn.Sequential(
+            nn.Conv2d(cin, cout, kernel_size=3, stride=1, padding=1),
+            nn.BatchNorm2d(cout),
+            nn.ReLU(),
+        )
+
+    class TorchUNetB(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.encoder_layer_1_1 = cbr(3, 64)
+            self.encoder_layer_1_2 = cbr(64, 64)
+            self.encoder_layer_2_1 = cbr(64, 128)
+            self.encoder_layer_2_2 = cbr(128, 128)
+            self.encoder_layer_3_1 = cbr(128, 256)
+            self.encoder_layer_3_2 = cbr(256, 256)
+            self.decoder_layer_4_2 = cbr(256, 512)
+            self.decoder_layer_4_1 = cbr(512, 512)
+            self.unpool3 = nn.ConvTranspose2d(512, 256, kernel_size=2, stride=2)
+            self.decoder_layer_3_2 = cbr(512, 256)
+            self.decoder_layer_3_1 = cbr(256, 256)
+            self.unpool2 = nn.ConvTranspose2d(256, 128, kernel_size=2, stride=2)
+            self.decoder_layer_2_2 = cbr(256, 128)
+            self.decoder_layer_2_1 = cbr(128, 128)
+            self.unpool1 = nn.ConvTranspose2d(128, 64, kernel_size=2, stride=2)
+            self.decoder_layer_1_2 = cbr(128, 64)
+            self.decoder_layer_1_1 = cbr(64, 64)
+            self.conv1x1 = nn.Conv2d(64, 1, kernel_size=1)
+            self.conv_select = nn.Conv2d(64, 1, kernel_size=1)
+            self.conv_aux = nn.Conv2d(64, 1, kernel_size=1)
+            self.pool = nn.MaxPool2d(2)
+
+        def forward(self, x):
+            e1 = self.encoder_layer_1_2(self.encoder_layer_1_1(x))
+            e2 = self.encoder_layer_2_2(self.encoder_layer_2_1(self.pool(e1)))
+            e3 = self.encoder_layer_3_2(self.encoder_layer_3_1(self.pool(e2)))
+            b = self.decoder_layer_4_1(self.decoder_layer_4_2(self.pool(e3)))
+            d3 = self.decoder_layer_3_1(
+                self.decoder_layer_3_2(torch.cat([self.unpool3(b), e3], dim=1))
+            )
+            d2 = self.decoder_layer_2_1(
+                self.decoder_layer_2_2(torch.cat([self.unpool2(d3), e2], dim=1))
+            )
+            d1 = self.decoder_layer_1_1(
+                self.decoder_layer_1_2(torch.cat([self.unpool1(d2), e1], dim=1))
+            )
+            return (
+                self.conv1x1(d1).squeeze(1),
+                self.conv_select(d1).squeeze(1),
+                self.conv_aux(d1).squeeze(1),
+            )
+
+    return TorchUNetB()
+
+
+def _torch_selective_objective(torch, out, sel, aux, y):
+    """aux BCEWithLogits + selective risk (selective_loss.py:58-85,
+    train.py:193-201), in torch. log-sigmoid form is used for p/log(1-p) —
+    mathematically identical to the reference's log(sigmoid(x)), stable in
+    fp32 (the same documented deviation ops/losses.py makes)."""
+    import torch.nn.functional as F
+
+    aux_loss = F.binary_cross_entropy_with_logits(aux, y)
+    g = torch.sigmoid(sel)
+    coverage = g.mean()
+    log_lik = y * F.logsigmoid(out) + (1.0 - y) * F.logsigmoid(-out)
+    risk = -(log_lik * g).mean() / coverage
+    constraint = torch.clamp(TARGET_COVERAGE - coverage, min=0.0) ** 2
+    sel_loss = risk + S_LAMB * constraint
+    return aux_loss + sel_loss, aux_loss, sel_loss, coverage
+
+
+def _make_batches(n_steps):
+    rng = np.random.default_rng(7)
+    batches = []
+    for _ in range(n_steps):
+        x = rng.standard_normal((BATCH, SIZE, SIZE, 3)).astype(np.float32) * 0.5
+        y = (rng.random((BATCH, SIZE, SIZE)) > 0.6).astype(np.int32)
+        batches.append((x, y))
+    return batches
+
+
+@pytest.mark.slow
+def test_lockstep_selective_training_equivalence(tmp_path):
+    torch = pytest.importorskip("torch")
+    torch.manual_seed(0)
+    torch.set_num_threads(2)
+
+    cfg = TrainConfig(
+        model_arch="UNet_B", selective=True, loss="BCElogit", s_lamb=S_LAMB,
+        target_coverage=TARGET_COVERAGE, optim="Adam", lr=LR,
+        compute_dtype="float32", batch_size=BATCH, patch_size=SIZE,
+        drop_last=True, log_img=False,
+    )
+    model = build_model(cfg.model_arch, cfg.n_cls, cfg.selective, cfg.compute_dtype)
+    tx = build_optimizer(cfg)
+    state = create_state(cfg, model, tx, jax.random.PRNGKey(3))
+    step = make_train_step(model, cfg, tx)
+
+    # export the JAX init through the .pth interchange and load it in torch
+    ckpt = str(tmp_path / "init.pth")
+    export_torch_checkpoint(
+        {"params": state.params, "batch_stats": state.batch_stats}, ckpt
+    )
+    net = _build_torch_unetb(torch)
+    net.load_state_dict(torch.load(ckpt, weights_only=False)["net"])
+    net.train()
+    opt = torch.optim.Adam(net.parameters(), lr=LR)
+
+    batches = _make_batches(N_STEPS)
+    jax_traj, torch_traj = [], []
+    for i, (x, y) in enumerate(batches):
+        # torch step (reference train.py:183-209 semantics)
+        xt = torch.from_numpy(x.transpose(0, 3, 1, 2).copy())
+        yt = torch.from_numpy(y.astype(np.float32))
+        out, sel, aux = net(xt)
+        loss, aux_loss, sel_loss, coverage = _torch_selective_objective(
+            torch, out, sel, aux, yt
+        )
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        torch_traj.append(
+            tuple(float(t.detach()) for t in (loss, aux_loss, sel_loss, coverage))
+        )
+
+        # jax step on the identical batch
+        batch = {"input": jnp.asarray(x), "label": jnp.asarray(y)}
+        state, metrics = step(state, batch, LR, jax.random.PRNGKey(100 + i))
+        jax_traj.append(
+            (
+                float(metrics["loss"]), float(metrics["aux_loss"]),
+                float(metrics["sel_loss"]), float(metrics["coverage"]),
+            )
+        )
+
+    jax_traj = np.asarray(jax_traj)
+    torch_traj = np.asarray(torch_traj)
+    # fp32 end-to-end: per-step losses agree to ~1e-4 relative even after the
+    # optimizer/BN state has evolved for several steps
+    np.testing.assert_allclose(jax_traj, torch_traj, rtol=1e-3, atol=1e-4)
+
+    # and the trajectories must actually move (guard against trivially-equal
+    # constants masking a broken step)
+    assert abs(jax_traj[0, 0] - jax_traj[-1, 0]) > 1e-3
