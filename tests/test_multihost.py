@@ -1,0 +1,73 @@
+"""Real multi-process multi-host data-parallel test.
+
+Round 1 only simulated two-host slice reassembly single-process; this spawns
+TWO actual jax.distributed CPU processes (gloo collectives, 4 virtual devices
+each = one 8-device global mesh), runs 2 selective train steps through
+``PatchLoader(process_count=2)`` + ``put_global``, and asserts the loss
+trajectory equals a single-process run over the identical 8-device mesh —
+i.e. host count is invisible to the objective (the multi-host analog of the
+reference's single-process DataParallel gather, train.py:132-134).
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from selectivenet_for_semantic_segmentation_binary_tpu.data import (
+    write_synthetic_patch_tree,
+)
+
+_WORKER = os.path.join(os.path.dirname(__file__), "_multihost_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _run_fleet(nproc: int, data_dir: str, out_path: str) -> dict:
+    port = _free_port()
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, _WORKER, str(pid), str(nproc), str(port),
+             data_dir, out_path],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+        )
+        for pid in range(nproc)
+    ]
+    outs = [p.communicate(timeout=600)[0].decode() for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+    with open(out_path) as f:
+        return json.load(f)
+
+
+@pytest.mark.slow
+def test_two_process_fleet_matches_single_process(tmp_path):
+    data_dir = str(tmp_path / "data")
+    write_synthetic_patch_tree(data_dir, n_slides=3, patches_per_slide=12,
+                               patch_size=32, seed=5)
+
+    multi = _run_fleet(2, data_dir, str(tmp_path / "multi.json"))
+    single = _run_fleet(1, data_dir, str(tmp_path / "single.json"))
+
+    assert len(multi["losses"]) == 2
+    # step 1 is bit-identical; step 2 inherits fp32 reduction-order drift from
+    # the gloo cross-process allreduce vs the single-process fusion (~1e-4
+    # relative observed), hence the tolerance
+    np.testing.assert_allclose(multi["losses"], single["losses"],
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(multi["coverages"], single["coverages"],
+                               rtol=1e-3, atol=1e-5)
