@@ -194,6 +194,38 @@ def stack_variables(variables_list: List[Dict]) -> Dict:
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *variables_list)
 
 
+def make_eval_loader(cfg: EvalConfig, mesh, data_list=None) -> PatchLoader:
+    """Build the no-shuffle eval loader (test fold by default, or any explicit
+    ``data_list`` — e.g. the valid split for best-epoch selection in
+    tools/sweep.py), with the same raw-uint8 device-preproc fast path the
+    training pipeline uses when no host-side color math is required."""
+    if data_list is None:
+        data_list = construct_test(cfg.data_dir, test_fold=cfg.test_fold)
+    raw_mode = (
+        getattr(cfg, "device_preproc", True)
+        and cfg.input_type == "RGB"
+        and not getattr(cfg, "blankfield", False)
+    )
+    if raw_mode:
+        ds = PatchDataset(cfg.data_dir, data_list, cfg.patch_mag,
+                          cfg.patch_size, cfg.input_type)
+        return PatchLoader(ds, cfg.batch_size, shuffle=False,
+                           num_workers=cfg.num_workers, drop_last=False,
+                           seed=cfg.seed, sharding=batch_sharding(mesh),
+                           device_preproc=True, random_flip=False)
+    pre = []
+    if getattr(cfg, "blankfield", False):
+        from .data.transforms import BlankfieldCorrection
+
+        pre.append(BlankfieldCorrection())
+    transform = Compose(pre + [Normalization(0.5, 0.5), ToArray()])
+    ds = PatchDataset(cfg.data_dir, data_list, cfg.patch_mag, cfg.patch_size,
+                      cfg.input_type, transform=transform)
+    return PatchLoader(ds, cfg.batch_size, shuffle=False,
+                       num_workers=cfg.num_workers, drop_last=False,
+                       seed=cfg.seed, sharding=batch_sharding(mesh))
+
+
 def evaluate(cfg: EvalConfig, loader: Optional[PatchLoader] = None,
              verbose: bool = True) -> Dict[str, Any]:
     """Full evaluation (reference eval.py:76-280). Returns the metric dict."""
@@ -207,31 +239,8 @@ def evaluate(cfg: EvalConfig, loader: Optional[PatchLoader] = None,
         variables = replicate(stack_variables(variables_list), mesh)
 
     if loader is None:
-        test_list = construct_test(cfg.data_dir, test_fold=cfg.test_fold)
-        raw_mode = (
-            getattr(cfg, "device_preproc", True)
-            and cfg.input_type == "RGB"
-            and not getattr(cfg, "blankfield", False)
-        )
-        if raw_mode:
-            ds = PatchDataset(cfg.data_dir, test_list, cfg.patch_mag,
-                              cfg.patch_size, cfg.input_type)
-            loader = PatchLoader(ds, cfg.batch_size, shuffle=False,
-                                 num_workers=cfg.num_workers, drop_last=False,
-                                 seed=cfg.seed, sharding=batch_sharding(mesh),
-                                 device_preproc=True, random_flip=False)
-        else:
-            pre = []
-            if getattr(cfg, "blankfield", False):
-                from .data.transforms import BlankfieldCorrection
-
-                pre.append(BlankfieldCorrection())
-            transform = Compose(pre + [Normalization(0.5, 0.5), ToArray()])
-            ds = PatchDataset(cfg.data_dir, test_list, cfg.patch_mag, cfg.patch_size,
-                              cfg.input_type, transform=transform)
-            loader = PatchLoader(ds, cfg.batch_size, shuffle=False,
-                                 num_workers=cfg.num_workers, drop_last=False,
-                                 seed=cfg.seed, sharding=batch_sharding(mesh))
+        loader = make_eval_loader(cfg, mesh)
+        ds = loader.dataset
         if cfg.info_print:
             print(f"Load Test Dataset ({cfg.test_fold}-fold)")
             print(f"    patch mag: {cfg.patch_mag}")

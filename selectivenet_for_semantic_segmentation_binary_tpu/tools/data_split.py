@@ -13,6 +13,9 @@ Turns the reference's notebook workbench into library functions + CLI:
   extra all-zero-label negatives.
 * ``tumor_pixel_report`` <- jupyters/class_imbalance_visualization.ipynb: per-fold
   tumor/benign pixel counts motivating the selective objective.
+* ``tumor_proportion_histogram`` <- jupyters/tumor_label-based_data_split.ipynb
+  cells 5-8: per-patch tumor-proportion distributions + decile counts at
+  multiple patch sizes (256/512/1024).
 """
 
 from __future__ import annotations
@@ -140,6 +143,48 @@ def tumor_pixel_report(data_dir: str, patch_mag: int = 200, patch_size: int = 25
     return report
 
 
+def tumor_proportion_histogram(
+    data_dir: str,
+    patch_mag: int = 200,
+    patch_sizes: Tuple[int, ...] = (256, 512, 1024),
+) -> Dict[int, Dict[str, object]]:
+    """Per-patch tumor-proportion distribution at multiple patch sizes
+    (tumor_label-based_data_split.ipynb cells 5-8).
+
+    For every ``{patch_mag}x_{size}`` tree present under ``data_dir``, computes
+    each patch's tumor proportion ``round(sum(label) / (255 * size^2), 3)``
+    (cell 5) and the 10-decile counts the notebook prints (cell 6:
+    ``count_w_10_cutoffs``). Sizes whose tree is absent are skipped.
+
+    Returns {size: {"proportions": [...], "decile_counts": [10 ints],
+                    "mean": float, "n_patches": int}}.
+    """
+    report: Dict[int, Dict[str, object]] = {}
+    for size in patch_sizes:
+        patch_dir = os.path.join(data_dir, f"{patch_mag}x_{size}")
+        if not os.path.isdir(patch_dir):
+            continue
+        props: List[float] = []
+        for _inp, lab in _paired_files(patch_dir):
+            label = np.asarray(
+                Image.open(os.path.join(patch_dir, lab)).convert("L"), np.int64
+            )
+            props.append(round(float(label.sum()) / (255.0 * size * size), 3))
+        # decile bins with the notebook's <=-cutoff semantics (cell 6):
+        # bin k holds proportions in (k/10, (k+1)/10], bin 0 includes 0
+        counts = [0] * 10
+        for p in props:
+            k = min(int(np.ceil(p * 10)) - 1, 9) if p > 0 else 0
+            counts[max(k, 0)] += 1
+        report[size] = {
+            "proportions": props,
+            "decile_counts": counts,
+            "mean": float(np.mean(props)) if props else 0.0,
+            "n_patches": len(props),
+        }
+    return report
+
+
 def main(argv=None) -> None:
     """CLI: python -m selectivenet_for_semantic_segmentation_binary_tpu.tools.data_split"""
     import argparse
@@ -153,6 +198,10 @@ def main(argv=None) -> None:
     parser.add_argument("--seed", type=int, default=44)
     parser.add_argument("--report", action="store_true",
                         help="print per-fold tumor/benign pixel stats after splitting")
+    parser.add_argument("--proportion_hist", action="store_true",
+                        help="print per-size tumor-proportion decile histograms "
+                             "(notebook cells 5-8)")
+    parser.add_argument("--hist_sizes", type=int, nargs="+", default=[256, 512, 1024])
     args = parser.parse_args(argv)
 
     counts = build_fold_lists(args.data_dir, args.patch_mag, args.patch_size,
@@ -164,6 +213,13 @@ def main(argv=None) -> None:
         ).items():
             print(f"fold {fold}: tumor_ratio={stats['tumor_ratio']:.4f} "
                   f"(tumor={stats['tumor_pixels']}, benign={stats['benign_pixels']})")
+    if args.proportion_hist:
+        hist = tumor_proportion_histogram(
+            args.data_dir, args.patch_mag, tuple(args.hist_sizes)
+        )
+        for size, stats in hist.items():
+            print(f"{args.patch_mag}x_{size}: n={stats['n_patches']} "
+                  f"mean={stats['mean']:.3f} deciles={stats['decile_counts']}")
 
 
 if __name__ == "__main__":

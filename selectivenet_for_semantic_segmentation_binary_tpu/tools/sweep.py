@@ -1,0 +1,263 @@
+"""Experiment-grid sweep harness: fold x variant train/eval with best-epoch
+selection and CSV summary.
+
+Replaces reference u-net_testing.ipynb cells 21-60, which repeat the WSI
+scoring flow across 5-fold CV for six experiment variants (baseline / added
+non-tissue / PartialNonTissue aug / Blankfield correction / GH with and
+without BC) with HAND-PICKED per-fold best-epoch lists and per-variant CSV
+summaries. This harness automates the same report shape:
+
+1. for every (variant, fold): train (auto-resuming) under
+   ``{model_root}/{variant}/{fold}-fold/...`` — the reference checkpoint
+   layout per fold;
+2. best-epoch selection: every epoch checkpoint is scored on the fold's
+   VALIDATION split (the reference picked epochs from the valid TB curves by
+   hand); the best checkpoint by ``select_metric`` wins;
+3. the winner is scored on the fold's TEST split — the same metric block
+   eval.py:261-280 prints;
+4. one CSV: a per-(variant, fold) row plus a nanmean summary row per variant
+   (the notebook's nanmean aggregation, cells 7-8).
+
+The reference's NT-add variant is a DATASET change (extra mined non-tissue
+patches, check_rgb_color_space.ipynb cell 10), not a flag: reproduce it by
+passing a variant whose ``data_dir`` points at a tree augmented with
+``tools.mine_non_tissue`` output.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import tempfile
+from dataclasses import dataclass, field, replace
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config import EvalConfig, TrainConfig
+from ..data import construct_train_valid
+from ..eval_lib import evaluate, make_eval_loader
+from ..parallel.mesh import make_mesh
+from ..train_lib import train
+from ..utils.checkpoint import list_checkpoints
+from .wsi import save_performance_as_csv
+
+
+@dataclass(frozen=True)
+class Variant:
+    """One experiment-grid cell: a name plus TrainConfig/EvalConfig deltas."""
+
+    name: str
+    train_kw: dict = field(default_factory=dict)
+    eval_kw: dict = field(default_factory=dict)
+    data_dir: Optional[str] = None  # NT-add style variants swap the dataset
+
+
+def default_grid() -> Tuple[Variant, ...]:
+    """The reference's experiment grid (u-net_testing.ipynb cells 21-60)."""
+    return (
+        Variant("baseline"),
+        Variant("PNT", train_kw={"pnt_aug": True}),
+        Variant("BC", train_kw={"blankfield": True}, eval_kw={"blankfield": True}),
+        Variant("GH", train_kw={"input_type": "GH"}, eval_kw={"input_type": "GH"}),
+        Variant("GH_BC",
+                train_kw={"input_type": "GH", "blankfield": True},
+                eval_kw={"input_type": "GH", "blankfield": True}),
+    )
+
+
+def _metric_scalar(results: Dict, name: str) -> float:
+    v = results[name]
+    arr = np.asarray(v, dtype=np.float64)
+    return float(np.nanmean(arr)) if arr.ndim else float(arr)
+
+
+def _eval_single_checkpoint(cfg: EvalConfig, ckpt_path: str, loader) -> Dict:
+    """Score one specific checkpoint (evaluate() discovers every checkpoint in
+    model_dir, so the file is linked alone into a temp dir)."""
+    with tempfile.TemporaryDirectory() as d:
+        link = os.path.join(d, os.path.basename(ckpt_path))
+        try:
+            os.symlink(os.path.abspath(ckpt_path), link)
+        except OSError:  # filesystems without symlink support
+            import shutil
+
+            shutil.copy(ckpt_path, link)
+        return evaluate(replace(cfg, model_dir=d), loader=loader, verbose=False)
+
+
+def _epoch_of(path: str) -> int:
+    digits = "".join(c for c in os.path.basename(path) if c.isdigit())
+    return int(digits) if digits else -1
+
+
+def run_sweep(
+    data_dir: str,
+    model_root: str,
+    folds: Sequence[int] = (1, 2, 3, 4, 5),
+    variants: Optional[Sequence[Variant]] = None,
+    train_overrides: Optional[dict] = None,
+    eval_overrides: Optional[dict] = None,
+    select_metric: str = "mIoU",
+    save_dir: Optional[str] = None,
+    verbose: bool = True,
+) -> List[Dict]:
+    """Run the full grid; returns one result dict per (variant, fold) plus a
+    ``fold='mean'`` nanmean summary per variant. Writes ``sweep_summary.csv``
+    under ``save_dir`` when given."""
+    variants = tuple(variants) if variants is not None else default_grid()
+    train_overrides = dict(train_overrides or {})
+    eval_overrides = dict(eval_overrides or {})
+
+    rows: List[Dict] = []
+    for variant in variants:
+        v_data_dir = variant.data_dir or data_dir
+        per_fold: List[Dict] = []
+        for fold in folds:
+            model_dir = os.path.join(model_root, variant.name)
+            t_cfg = TrainConfig(
+                data_dir=v_data_dir, fold=fold, model_dir=model_dir,
+                **{**variant.train_kw, **train_overrides},
+            )
+            ckpt_dir = os.path.join(model_dir, f"{fold}-fold", "checkpoint")
+            have = len(list_checkpoints(ckpt_dir))
+            if have < t_cfg.n_epoch:  # auto-resume fills the remainder
+                t_cfg = replace(t_cfg, n_epoch=t_cfg.n_epoch - have)
+                train(t_cfg, verbose=False)
+
+            e_kwargs = dict(
+                data_dir=v_data_dir, test_fold=fold, model_dir=ckpt_dir,
+                model_arch=[t_cfg.model_arch], selective=t_cfg.selective,
+                patch_mag=t_cfg.patch_mag, patch_size=t_cfg.patch_size,
+                batch_size=t_cfg.batch_size, compute_dtype=t_cfg.compute_dtype,
+                num_workers=t_cfg.num_workers, seed=t_cfg.seed,
+            )
+            e_kwargs.update(variant.eval_kw)
+            e_kwargs.update(eval_overrides)
+            e_cfg = EvalConfig(**e_kwargs)
+
+            # best-epoch selection on the fold's VALIDATION split
+            mesh = make_mesh(e_cfg.n_devices)
+            _, valid_list = construct_train_valid(
+                v_data_dir, test_fold=fold, seed=t_cfg.seed
+            )
+            valid_loader = make_eval_loader(e_cfg, mesh, data_list=valid_list)
+            ckpts = sorted(list_checkpoints(ckpt_dir), key=_epoch_of)
+            scored = []
+            for ckpt in ckpts:
+                res = _eval_single_checkpoint(e_cfg, ckpt, valid_loader)
+                scored.append((_metric_scalar(res, select_metric), ckpt))
+            best_score, best_ckpt = max(scored, key=lambda t: t[0])
+
+            # report the winner on the TEST split
+            test_loader = make_eval_loader(e_cfg, mesh)
+            results = _eval_single_checkpoint(e_cfg, best_ckpt, test_loader)
+            row = {
+                "variant": variant.name,
+                "fold": fold,
+                "best_epoch": _epoch_of(best_ckpt),
+                f"valid_{select_metric}": best_score,
+                "accuracy": results["accuracy"],
+                "accuracy_class": results["accuracy_class"],
+                "precision": np.asarray(results["precision"]).tolist(),
+                "recall": np.asarray(results["recall"]).tolist(),
+                "f1_score": np.asarray(results["f1_score"]).tolist(),
+                "mIoU": results["mIoU"],
+                "IoU_class": np.asarray(results["IoU_class"]).tolist(),
+            }
+            if "rejection_ratio" in results:
+                row["rejection_ratio"] = results["rejection_ratio"]
+            per_fold.append(row)
+            rows.append(row)
+            if verbose:
+                print(f"[{variant.name} fold {fold}] best epoch "
+                      f"{row['best_epoch']} valid_{select_metric}="
+                      f"{best_score:.4f} test mIoU={row['mIoU']:.4f}")
+
+        # per-variant nanmean summary (the notebook's aggregation)
+        summary = {"variant": variant.name, "fold": "mean",
+                   "best_epoch": "", f"valid_{select_metric}": ""}
+        for key in ("accuracy", "accuracy_class", "mIoU"):
+            summary[key] = float(np.nanmean([r[key] for r in per_fold]))
+        for key in ("precision", "recall", "f1_score", "IoU_class"):
+            summary[key] = np.nanmean(
+                np.asarray([r[key] for r in per_fold], dtype=np.float64), axis=0
+            ).tolist()
+        if any("rejection_ratio" in r for r in per_fold):
+            summary["rejection_ratio"] = float(np.nanmean(
+                [r.get("rejection_ratio", np.nan) for r in per_fold]
+            ))
+        rows.append(summary)
+        if verbose:
+            print(f"[{variant.name} mean] mIoU={summary['mIoU']:.4f}")
+
+    if save_dir:
+        header = ["variant", "fold", "best_epoch", "accuracy", "accuracy_class",
+                  "precision", "recall", "f1_score", "mIoU", "IoU_class",
+                  "rejection_ratio"]
+        csv_rows = []
+        for r in rows:
+            csv_rows.append([
+                r.get("variant"), r.get("fold"), r.get("best_epoch"),
+                r.get("accuracy"), r.get("accuracy_class"),
+                " ".join(f"{v:.6f}" for v in np.atleast_1d(r.get("precision", []))),
+                " ".join(f"{v:.6f}" for v in np.atleast_1d(r.get("recall", []))),
+                " ".join(f"{v:.6f}" for v in np.atleast_1d(r.get("f1_score", []))),
+                r.get("mIoU"),
+                " ".join(f"{v:.6f}" for v in np.atleast_1d(r.get("IoU_class", []))),
+                r.get("rejection_ratio", ""),
+            ])
+        save_performance_as_csv(save_dir, csv_rows, "sweep_summary", header=header)
+    return rows
+
+
+def main(argv=None) -> None:
+    """CLI: python -m selectivenet_for_semantic_segmentation_binary_tpu.tools.sweep"""
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        description="fold x variant experiment-grid sweep with best-epoch "
+                    "selection and CSV summary")
+    parser.add_argument("--data_dir", required=True)
+    parser.add_argument("--model_root", required=True)
+    parser.add_argument("--folds", type=int, nargs="+", default=[1, 2, 3, 4, 5])
+    parser.add_argument("--variants", nargs="+",
+                        default=[v.name for v in default_grid()],
+                        help="subset of: " + " ".join(v.name for v in default_grid()))
+    parser.add_argument("--model_arch", default="UNet_B")
+    parser.add_argument("--selective", type=lambda s: s not in ("0", "False", ""),
+                        default=False)
+    parser.add_argument("--select_eval", type=lambda s: s not in ("0", "False", ""),
+                        default=False)
+    parser.add_argument("--loss", default="BCElogit")
+    parser.add_argument("--n_epoch", type=int, default=100)
+    parser.add_argument("--batch_size", type=int, default=128)
+    parser.add_argument("--patch_size", type=int, default=256)
+    parser.add_argument("--patch_mag", type=int, default=200)
+    parser.add_argument("--num_workers", type=int, default=16)
+    parser.add_argument("--select_metric", default="mIoU")
+    parser.add_argument("--save_dir", default=None)
+    args = parser.parse_args(argv)
+
+    by_name = {v.name: v for v in default_grid()}
+    unknown = [n for n in args.variants if n not in by_name]
+    if unknown:
+        parser.error(f"unknown variants {unknown}; choose from {sorted(by_name)}")
+
+    run_sweep(
+        args.data_dir, args.model_root, folds=args.folds,
+        variants=[by_name[n] for n in args.variants],
+        train_overrides=dict(
+            model_arch=args.model_arch, selective=args.selective, loss=args.loss,
+            n_epoch=args.n_epoch, batch_size=args.batch_size,
+            patch_size=args.patch_size, patch_mag=args.patch_mag,
+            num_workers=args.num_workers,
+        ),
+        eval_overrides=dict(select_eval=args.select_eval),
+        select_metric=args.select_metric,
+        save_dir=args.save_dir,
+    )
+
+
+if __name__ == "__main__":
+    main()

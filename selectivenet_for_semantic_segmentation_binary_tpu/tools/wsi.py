@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import csv
 import os
+from concurrent.futures import ThreadPoolExecutor
+from functools import partial
 from typing import Dict, List, Optional, Sequence
 
 import jax
@@ -64,6 +66,25 @@ def save_performance_as_csv(save_dir: str, rows: Sequence[Sequence], csv_name: s
     return path
 
 
+@partial(jax.jit, static_argnames=("model", "selective"))
+def _wsi_forward(model, variables, x, selective: bool):
+    """Module-level jit so repeated wsi_inference calls (sweeps, per-fold
+    loops) reuse the compiled executable — a closure-local @jax.jit would
+    recompile on every call (~20 s per compile on the tunnel)."""
+    if x.dtype == jnp.uint8:
+        # raw-uint8 fast path: /255 and (x-.5)/.5 fused into the forward,
+        # so the host ships 4x less and does zero per-pixel float math
+        x = x.astype(jnp.float32) * (1.0 / 255.0)
+        x = (x - 0.5) / 0.5
+    out = model.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        x, train=False,
+    )
+    if selective:
+        out = out[0]
+    return jax.nn.sigmoid(out) if out.ndim == 3 else jax.nn.softmax(out, -1)[..., 1]
+
+
 def _group_by_slide(ids: List[str]) -> Dict[str, List[int]]:
     groups: Dict[str, List[int]] = {}
     for i, pid in enumerate(ids):
@@ -81,6 +102,7 @@ def wsi_inference(
     cut_off: float = 0.5,
     batch_size: int = 32,
     save_dir: Optional[str] = None,
+    num_workers: int = 16,
 ) -> Dict[str, Dict]:
     """Stitched whole-slide inference + per-patch / per-WSI scoring.
 
@@ -91,15 +113,8 @@ def wsi_inference(
         {slide_id: {"prob", "pred", "label", "sample", "heatmap",
                     "patch_scores", "wsi_score"}}
     """
-    @jax.jit
     def forward(x):
-        out = model.apply(
-            {"params": variables["params"], "batch_stats": variables["batch_stats"]},
-            x, train=False,
-        )
-        if selective:
-            out = out[0]
-        return jax.nn.sigmoid(out) if out.ndim == 3 else jax.nn.softmax(out, -1)[..., 1]
+        return _wsi_forward(model, variables, x, selective)
 
     # ids are derivable from filenames; decoding every patch just for its id
     # would double the pipeline's I/O
@@ -107,22 +122,44 @@ def wsi_inference(
         ids = [name.split("_input")[0] for name in dataset.input_list]
     else:
         ids = [dataset[i]["id"] for i in range(len(dataset))]
+
+    # throughput path: thread-pool decode (GIL-released JPEG/PNG) instead of
+    # a sequential dataset[i] loop; raw uint8 + on-device preproc when the
+    # dataset needs no host-side color math (same gating as data/loader.py)
+    raw_mode = (
+        hasattr(dataset, "get_raw")
+        and getattr(dataset, "transform", None) is None
+        and getattr(dataset, "input_type", "RGB") == "RGB"
+    )
+    pool = ThreadPoolExecutor(max_workers=num_workers)
+
     results: Dict[str, Dict] = {}
     for slide, indices in _group_by_slide(ids).items():
-        samples = [dataset[i] for i in indices]
-        inputs = np.stack([s["input"] for s in samples])
-        labels = np.stack([s["label"] for s in samples])
-        normed = (inputs - 0.5) / 0.5
+        if raw_mode:
+            decoded = list(pool.map(dataset.get_raw, indices))
+            inputs_u8 = np.stack([d[0] for d in decoded])
+            labels = np.stack([d[1] for d in decoded])
+            inputs = inputs_u8.astype(np.float32) / 255.0  # display canvas
+            feed = inputs_u8
+        else:
+            samples = list(pool.map(dataset.__getitem__, indices))
+            inputs = np.stack([s["input"] for s in samples])
+            labels = np.stack([s["label"] for s in samples])
+            feed = (inputs - 0.5) / 0.5
 
-        probs = []
-        for i in range(0, len(indices), batch_size):
-            probs.append(np.asarray(forward(jnp.asarray(normed[i : i + batch_size]))))
-        prob = np.concatenate(probs)
+        # dispatch every batch before fetching any: jax dispatch is async, so
+        # batch i+1's H2D/compute overlaps batch i's D2H fetch
+        outs = [
+            forward(jnp.asarray(feed[i : i + batch_size]))
+            for i in range(0, len(indices), batch_size)
+        ]
+        prob = np.concatenate([np.asarray(o) for o in outs])
         pred = (prob > cut_off).astype(np.uint8)
 
-        patch_scores = [
-            get_performance(labels[j], prob[j], pred[j]) for j in range(len(indices))
-        ]
+        patch_scores = list(pool.map(
+            lambda j: get_performance(labels[j], prob[j], pred[j]),
+            range(len(indices)),
+        ))
         prob_c = stitch_patches(prob, nrow)
         pred_c = stitch_patches(pred, nrow)
         label_c = stitch_patches(labels, nrow)
@@ -151,6 +188,8 @@ def wsi_inference(
             Image.fromarray((pred_c * 255).astype(np.uint8)).save(
                 os.path.join(save_dir, f"{slide}_pred.png")
             )
+
+    pool.shutdown()
 
     if save_dir is not None:
         save_performance_as_csv(

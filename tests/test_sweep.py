@@ -1,0 +1,94 @@
+"""Experiment-grid sweep harness tests (reference u-net_testing.ipynb cells
+21-60 report shape on synthetic data)."""
+
+import csv
+import os
+
+import numpy as np
+import pytest
+
+from selectivenet_for_semantic_segmentation_binary_tpu.data import (
+    write_synthetic_patch_tree,
+)
+from selectivenet_for_semantic_segmentation_binary_tpu.tools import (
+    Variant,
+    default_grid,
+    run_sweep,
+)
+
+
+def test_default_grid_matches_reference_variants():
+    names = {v.name for v in default_grid()}
+    assert names == {"baseline", "PNT", "BC", "GH", "GH_BC"}
+    gh = next(v for v in default_grid() if v.name == "GH")
+    assert gh.train_kw["input_type"] == "GH" and gh.eval_kw["input_type"] == "GH"
+
+
+@pytest.mark.slow
+def test_sweep_end_to_end_synthetic(tmp_path):
+    data_dir = str(tmp_path / "data")
+    write_synthetic_patch_tree(data_dir, n_slides=2, patches_per_slide=12,
+                               patch_size=32, seed=11)
+    model_root = str(tmp_path / "models")
+    save_dir = str(tmp_path / "report")
+
+    variants = [Variant("baseline"), Variant("GH", train_kw={"input_type": "GH"},
+                                             eval_kw={"input_type": "GH"})]
+    rows = run_sweep(
+        data_dir, model_root, folds=[1], variants=variants,
+        train_overrides=dict(
+            model_arch="UNet_B", selective=False, loss="BCElogit",
+            n_epoch=2, batch_size=8, patch_size=32, num_workers=2,
+            compute_dtype="float32", local_rank=[0, 1],
+        ),
+        eval_overrides=dict(local_rank=[0, 1], compute_dtype="float32"),
+        save_dir=save_dir, verbose=False,
+    )
+
+    # per-(variant, fold) rows + one mean row per variant
+    assert len(rows) == 4
+    by_variant = {}
+    for r in rows:
+        by_variant.setdefault(r["variant"], []).append(r)
+    for name in ("baseline", "GH"):
+        fold_rows = [r for r in by_variant[name] if r["fold"] != "mean"]
+        mean_rows = [r for r in by_variant[name] if r["fold"] == "mean"]
+        assert len(fold_rows) == 1 and len(mean_rows) == 1
+        assert fold_rows[0]["best_epoch"] in (1, 2)
+        assert 0.0 <= fold_rows[0]["mIoU"] <= 1.0
+        # single fold -> the nanmean row equals the fold row
+        assert mean_rows[0]["mIoU"] == pytest.approx(fold_rows[0]["mIoU"])
+
+    # checkpoints landed in the reference layout per variant
+    assert os.path.exists(os.path.join(
+        model_root, "baseline", "1-fold", "checkpoint", "model_epoch2.ckpt"))
+
+    # CSV written with the expected header and row count
+    with open(os.path.join(save_dir, "sweep_summary.csv")) as f:
+        rd = list(csv.reader(f))
+    assert rd[0][:3] == ["variant", "fold", "best_epoch"]
+    assert len(rd) == 1 + len(rows)
+
+
+@pytest.mark.slow
+def test_sweep_resumes_without_retraining(tmp_path):
+    """A second run over an already-trained grid must not add checkpoints."""
+    data_dir = str(tmp_path / "data")
+    write_synthetic_patch_tree(data_dir, n_slides=2, patches_per_slide=10,
+                               patch_size=32, seed=12)
+    model_root = str(tmp_path / "models")
+    kw = dict(
+        train_overrides=dict(model_arch="UNet_B", selective=False,
+                             loss="BCElogit", n_epoch=1, batch_size=8,
+                             patch_size=32, num_workers=2,
+                             compute_dtype="float32", local_rank=[0, 1]),
+        eval_overrides=dict(local_rank=[0, 1], compute_dtype="float32"),
+        verbose=False,
+    )
+    variants = [Variant("baseline")]
+    run_sweep(data_dir, model_root, folds=[1], variants=variants, **kw)
+    ckpt_dir = os.path.join(model_root, "baseline", "1-fold", "checkpoint")
+    before = sorted(os.listdir(ckpt_dir))
+    rows = run_sweep(data_dir, model_root, folds=[1], variants=variants, **kw)
+    assert sorted(os.listdir(ckpt_dir)) == before
+    assert rows[0]["best_epoch"] == 1

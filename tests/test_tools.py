@@ -22,6 +22,7 @@ from selectivenet_for_semantic_segmentation_binary_tpu.tools import (
     save_performance_as_csv,
     stitch_patches,
     tumor_pixel_report,
+    tumor_proportion_histogram,
     wsi_inference,
 )
 
@@ -94,6 +95,25 @@ class TestDataSplit:
         assert set(report) == {1, 2, 3, 4, 5}
         for fold, stats in report.items():
             assert 0.0 <= stats["tumor_ratio"] <= 1.0
+
+    def test_tumor_proportion_histogram(self, raw_tree):
+        """Notebook cells 5-8 semantics: per-patch proportion rounded to 3
+        digits, decile counts sum to the patch count, absent sizes skipped."""
+        report = tumor_proportion_histogram(raw_tree, patch_mag=200,
+                                            patch_sizes=(32, 512))
+        assert set(report) == {32}  # no 200x_512 tree in the fixture
+        stats = report[32]
+        assert stats["n_patches"] == 20
+        assert sum(stats["decile_counts"]) == stats["n_patches"]
+        assert all(0.0 <= p <= 1.0 for p in stats["proportions"])
+        # spot-check one patch against the formula (cell 5)
+        from PIL import Image
+        patch_dir = os.path.join(raw_tree, "200x_32")
+        lab = sorted(f for f in os.listdir(patch_dir) if f.endswith("_label.png"))[0]
+        label = np.asarray(Image.open(os.path.join(patch_dir, lab)).convert("L"),
+                           np.int64)
+        expected = round(float(label.sum()) / (255.0 * 32 * 32), 3)
+        assert expected in stats["proportions"]
 
 
 class TestWSI:
