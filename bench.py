@@ -44,6 +44,7 @@ def build_step(batch_size: int):
     from selectivenet_for_semantic_segmentation_binary_tpu.train_lib import (
         create_state,
         make_train_step,
+        resolve_fused,
     )
 
     cfg = TrainConfig(
@@ -51,7 +52,8 @@ def build_step(batch_size: int):
         patch_size=PATCH, batch_size=batch_size, compute_dtype="bfloat16",
     )
     mesh = make_mesh()
-    model = build_model(cfg.model_arch, cfg.n_cls, cfg.selective, cfg.compute_dtype)
+    model = build_model(cfg.model_arch, cfg.n_cls, cfg.selective, cfg.compute_dtype,
+                        fused=resolve_fused(cfg, mesh))
     tx = build_optimizer(cfg)
     state = replicate(create_state(cfg, model, tx, jax.random.PRNGKey(0)), mesh)
     step = make_train_step(model, cfg, tx)

@@ -82,6 +82,8 @@ class TrainConfig:
     pnt_aug: bool = False            # PartialNonTissue augmentation (data_utils.py:127)
     blankfield: bool = False         # blank-field white-balance preprocessing ("BC")
     device_preproc: bool = True      # ship raw uint8, normalize/flip on device
+    fused_cbr: str = "auto"          # fused-CBR Pallas trunk: auto | on | off
+                                     # (auto = off: see train_lib.resolve_fused)
 
     @property
     def n_devices(self) -> int:

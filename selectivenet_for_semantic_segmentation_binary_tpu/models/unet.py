@@ -157,6 +157,179 @@ class Head(nn.Module):
         )(x)
 
 
+class _ConvParams(nn.Module):
+    """Declares conv params under the same scope/names/initializers as
+    ``nn.Conv`` inside CBR, without running the conv — the fused kernel
+    consumes the raw values. Identical scope path => identical init RNG =>
+    bit-identical initialization to the classic trunk."""
+
+    features: int
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.kernel_size
+        kernel = self.param("kernel", conv_kernel_init,
+                            (k, k, in_features, self.features), jnp.float32)
+        bias = self.param("bias", torch_bias_init(in_features * k * k),
+                          (self.features,), jnp.float32)
+        return kernel, bias
+
+
+class _BNParams(nn.Module):
+    """BatchNorm params + running stats with flax BatchNorm's exact names,
+    shapes, inits and collections."""
+
+    @nn.compact
+    def __call__(self, features: int):
+        scale = self.param("scale", nn.initializers.ones_init(), (features,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(), (features,),
+                          jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((features,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((features,), jnp.float32))
+        return scale, bias, ra_mean, ra_var
+
+
+class FusedCBR(nn.Module):
+    """CBR with the conv/BN/ReLU pipeline RESTRUCTURED for fusion: emits the
+    RAW conv output + this layer's BN affine so the next conv can apply
+    normalize+relu as its Pallas prologue (ops/fused_cbr.py), eliminating the
+    separate BN-statistics and normalize+relu HBM passes.
+
+    Same parameter/batch_stats tree as ``CBR`` (checkpoints interchange
+    untouched). ``use_pallas`` selects the Pallas kernel for shapes where it
+    measured >= parity (ops.fused_cbr.eligible); everything else runs the
+    same restructured dataflow with XLA ops (numerics equivalent to CBR).
+    """
+
+    features: int
+    dtype: Dtype = jnp.float32
+    use_pallas: bool = True
+    interpret: bool = False
+    momentum: float = 0.9   # torch BatchNorm2d momentum=0.1 <=> flax 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool, prologue=None,
+                 materialize: bool = True):
+        from ..ops.fused_cbr import (
+            bn_affine,
+            eligible,
+            fused_conv_stats,
+            moments_from_stats,
+        )
+
+        cin = x.shape[-1]
+        kernel, cbias = _ConvParams(self.features, name="conv")(cin)
+        scale, bbias, ra_mean, ra_var = _BNParams(name="bn")(self.features)
+
+        N, H, W = x.shape[0], x.shape[1], x.shape[2]
+        use_pallas = (
+            self.use_pallas
+            and eligible(H, W, cin, self.features, self.dtype)
+            and not self.is_initializing()
+        )
+        need_stats = train
+
+        if prologue is not None:
+            a_in, b_in = prologue
+        else:
+            a_in = jnp.ones((cin,), jnp.float32)
+            b_in = jnp.zeros((cin,), jnp.float32)
+
+        if use_pallas:
+            y, stats = fused_conv_stats(
+                x.astype(self.dtype), a_in, b_in, kernel.astype(self.dtype),
+                cbias, prologue is not None, self.interpret,
+            )
+        else:
+            if prologue is not None:
+                xn = jnp.maximum(x.astype(jnp.float32) * a_in + b_in, 0.0)
+                xn = xn.astype(self.dtype)
+            else:
+                xn = x.astype(self.dtype)
+            # native-dtype conv (a preferred_element_type=f32 here would make
+            # the autodiff backward mix f32 cotangents with bf16 weights)
+            y = jax.lax.conv_general_dilated(
+                xn, kernel.astype(self.dtype), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ).astype(jnp.float32) + cbias
+            y = y.astype(self.dtype)
+            if need_stats:
+                yf = y.astype(jnp.float32)
+                stats = jnp.stack([jnp.sum(yf, (0, 1, 2)),
+                                   jnp.sum(yf * yf, (0, 1, 2))])
+
+        if need_stats:
+            mean, var = moments_from_stats(stats, N * H * W)
+            if not self.is_initializing():  # flax BatchNorm semantics
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        a, b = bn_affine(scale, bbias, mean, var, self.epsilon)
+        if materialize:
+            xn_out = jnp.maximum(y.astype(jnp.float32) * a + b, 0.0)
+            return xn_out.astype(self.dtype), None
+        return y, (a, b)
+
+
+class _UNetTrunkFused(nn.Module):
+    """The UNet trunk on the fused-CBR dataflow: within each CBR pair the
+    first conv emits raw output + BN affine and the second applies
+    normalize+relu as its (Pallas) prologue; activations materialize only at
+    level boundaries (pool / skip-concat / heads). Identical parameter tree,
+    layer names and math to ``_UNetTrunk``."""
+
+    dtype: Dtype = jnp.float32
+    dropout_rate: float = 0.0
+    use_pallas: bool = True
+    interpret: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool, mc_dropout: bool = False) -> jax.Array:
+        d = self.dtype
+        cbr = partial(FusedCBR, dtype=d, use_pallas=self.use_pallas,
+                      interpret=self.interpret)
+
+        def pair(n1: str, n2: str, feats: int, xin, train):
+            y, ab = cbr(feats, name=n1)(xin, train, prologue=None,
+                                        materialize=False)
+            out, _ = cbr(feats, name=n2)(y, train, prologue=ab,
+                                         materialize=True)
+            return out
+
+        enc1 = pair("enc1_1", "enc1_2", 64, x, train)
+        p1 = nn.max_pool(enc1, (2, 2), strides=(2, 2))
+        enc2 = pair("enc2_1", "enc2_2", 128, p1, train)
+        p2 = nn.max_pool(enc2, (2, 2), strides=(2, 2))
+        enc3 = pair("enc3_1", "enc3_2", 256, p2, train)
+        p3 = nn.max_pool(enc3, (2, 2), strides=(2, 2))
+
+        bottom = pair("dec4_2", "dec4_1", 512, p3, train)
+
+        drop = self.dropout_rate
+        use_drop = drop > 0.0 and (train or mc_dropout)
+        if drop > 0.0:
+            bottom = nn.Dropout(drop, deterministic=not use_drop, name="drop_bottom")(bottom)
+
+        u3 = jnp.concatenate([UpConv(256, dtype=d, name="unpool3")(bottom), enc3], axis=-1)
+        dec3 = pair("dec3_2", "dec3_1", 256, u3, train)
+        if drop > 0.0:
+            dec3 = nn.Dropout(drop, deterministic=not use_drop, name="drop3")(dec3)
+
+        u2 = jnp.concatenate([UpConv(128, dtype=d, name="unpool2")(dec3), enc2], axis=-1)
+        dec2 = pair("dec2_2", "dec2_1", 128, u2, train)
+
+        u1 = jnp.concatenate([UpConv(64, dtype=d, name="unpool1")(dec2), enc1], axis=-1)
+        dec1 = pair("dec1_2", "dec1_1", 64, u1, train)
+        return dec1
+
+
 class _UNetTrunk(nn.Module):
     """Shared encoder/decoder trunk of UNet and UNet_B (model.py:29-61)."""
 
@@ -217,11 +390,19 @@ class UNetB(nn.Module):
     dtype: Dtype = jnp.float32
     dropout_rate: float = 0.0
     folded: bool = False
+    fused: bool = False          # fused-CBR dataflow (Pallas on TPU)
+    fused_interpret: bool = False  # run the Pallas kernels interpreted (tests)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False, mc_dropout: bool = False):
-        feat = _UNetTrunk(dtype=self.dtype, dropout_rate=self.dropout_rate,
-                          folded=self.folded, name="trunk")(x, train, mc_dropout)
+        if self.fused:
+            feat = _UNetTrunkFused(dtype=self.dtype,
+                                   dropout_rate=self.dropout_rate,
+                                   interpret=self.fused_interpret,
+                                   name="trunk")(x, train, mc_dropout)
+        else:
+            feat = _UNetTrunk(dtype=self.dtype, dropout_rate=self.dropout_rate,
+                              folded=self.folded, name="trunk")(x, train, mc_dropout)
         out = Head(1, dtype=self.dtype, name="conv1x1")(feat)
         out = jnp.squeeze(out, -1).astype(jnp.float32)
         if not self.selective:
@@ -244,11 +425,19 @@ class UNet(nn.Module):
     dtype: Dtype = jnp.float32
     dropout_rate: float = 0.0
     folded: bool = False
+    fused: bool = False
+    fused_interpret: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False, mc_dropout: bool = False):
-        feat = _UNetTrunk(dtype=self.dtype, dropout_rate=self.dropout_rate,
-                          folded=self.folded, name="trunk")(x, train, mc_dropout)
+        if self.fused:
+            feat = _UNetTrunkFused(dtype=self.dtype,
+                                   dropout_rate=self.dropout_rate,
+                                   interpret=self.fused_interpret,
+                                   name="trunk")(x, train, mc_dropout)
+        else:
+            feat = _UNetTrunk(dtype=self.dtype, dropout_rate=self.dropout_rate,
+                              folded=self.folded, name="trunk")(x, train, mc_dropout)
         out = Head(self.n_cls, dtype=self.dtype, name="conv1x1")(feat).astype(jnp.float32)
         if not self.selective:
             return out
@@ -264,18 +453,25 @@ def build_model(
     compute_dtype: str = "float32",
     dropout_rate: float = 0.0,
     folded: bool = False,
+    fused: bool = False,
+    fused_interpret: bool = False,
 ) -> nn.Module:
     """Factory matching the reference's arch selection (train.py:71-74).
 
     ``folded=True`` builds the BN-folded serving variant consuming params
-    produced by ops.fold_bn.fold_batchnorm."""
+    produced by ops.fold_bn.fold_batchnorm. ``fused=True`` selects the
+    fused-CBR trunk (Pallas kernels on TPU; identical parameter tree);
+    ``fused_interpret`` runs those kernels interpreted (CPU tests)."""
     dtype = jnp.dtype(compute_dtype)
+    if folded and fused:
+        raise ValueError("folded serving graph and fused training trunk are exclusive")
     if model_arch == "UNet_B":
         return UNetB(selective=selective, dtype=dtype, dropout_rate=dropout_rate,
-                     folded=folded)
+                     folded=folded, fused=fused, fused_interpret=fused_interpret)
     if model_arch == "UNet":
         return UNet(n_cls=n_cls, selective=selective, dtype=dtype,
-                    dropout_rate=dropout_rate, folded=folded)
+                    dropout_rate=dropout_rate, folded=folded, fused=fused,
+                    fused_interpret=fused_interpret)
     raise ValueError(f"unknown model_arch {model_arch!r} (expected 'UNet' or 'UNet_B')")
 
 

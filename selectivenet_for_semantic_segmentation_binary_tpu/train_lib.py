@@ -166,6 +166,23 @@ def _batch_metrics(cfg, label_int, pred, sel_mask):
     return metrics
 
 
+def resolve_fused(cfg, mesh) -> bool:
+    """Whether to build the fused-CBR Pallas trunk (ops/fused_cbr.py).
+
+    'auto' currently resolves to OFF: although each fused conv beats the
+    ISOLATED XLA conv+BN+ReLU chain by 1.08-1.29x, the end-to-end step
+    measured 394 vs 473 patches/s — in-net XLA assigns batch-minor layouts
+    to activations ({3,0,2,1}; at C=64 it packs N with C to fill lanes),
+    and every pallas/XLA-conv boundary inserts large transpose copies that
+    eat the win (docs/RESULTS.md round-2 section). 'on' keeps the trunk
+    available for experiments (single-chip only: a pallas_call inside the
+    GSPMD-jitted step has no partitioning rule)."""
+    mode = getattr(cfg, "fused_cbr", "auto")
+    if mode == "on":
+        return jax.default_backend() == "tpu" and mesh.devices.size == 1
+    return False
+
+
 def make_train_step(model, cfg: TrainConfig, tx) -> Callable:
     """Build the jitted (state, batch, lr, rng) -> (state, metrics) step."""
     use_bce = "BCE" in cfg.loss
@@ -444,7 +461,8 @@ def train(cfg: TrainConfig, loaders=None, verbose: bool = True) -> Dict[str, Any
         )
 
     model = build_model(cfg.model_arch, cfg.n_cls, cfg.selective,
-                        cfg.compute_dtype, cfg.dropout_rate)
+                        cfg.compute_dtype, cfg.dropout_rate,
+                        fused=resolve_fused(cfg, mesh))
     tx = build_optimizer(cfg)
     rng = jax.random.PRNGKey(cfg.seed)
     rng, init_rng = jax.random.split(rng)
