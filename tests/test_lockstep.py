@@ -36,10 +36,11 @@ S_LAMB = 2.0
 TARGET_COVERAGE = 0.8
 
 
-def _build_torch_unetb(torch):
-    """UNet_B as a torch module with the reference's layer names
-    (model.py:19-103), so the exported .pth loads directly. Oracle
-    implementation written from the topology spec, not copied."""
+def _build_torch_unetb(torch, n_cls=None):
+    """UNet_B (n_cls=None) or UNet (n_cls heads, model.py:106-191) as a torch
+    module with the reference's layer names, so the exported .pth loads
+    directly. Oracle implementation written from the topology spec, not
+    copied."""
     import torch.nn as nn
 
     def cbr(cin, cout):
@@ -69,9 +70,11 @@ def _build_torch_unetb(torch):
             self.unpool1 = nn.ConvTranspose2d(128, 64, kernel_size=2, stride=2)
             self.decoder_layer_1_2 = cbr(128, 64)
             self.decoder_layer_1_1 = cbr(64, 64)
-            self.conv1x1 = nn.Conv2d(64, 1, kernel_size=1)
-            self.conv_select = nn.Conv2d(64, 1, kernel_size=1)
-            self.conv_aux = nn.Conv2d(64, 1, kernel_size=1)
+            out_ch = 1 if n_cls is None else n_cls
+            sel_ch = 1 if n_cls is None else 2
+            self.conv1x1 = nn.Conv2d(64, out_ch, kernel_size=1)
+            self.conv_select = nn.Conv2d(64, sel_ch, kernel_size=1)
+            self.conv_aux = nn.Conv2d(64, out_ch, kernel_size=1)
             self.pool = nn.MaxPool2d(2)
 
         def forward(self, x):
@@ -88,11 +91,13 @@ def _build_torch_unetb(torch):
             d1 = self.decoder_layer_1_1(
                 self.decoder_layer_1_2(torch.cat([self.unpool1(d2), e1], dim=1))
             )
-            return (
-                self.conv1x1(d1).squeeze(1),
-                self.conv_select(d1).squeeze(1),
-                self.conv_aux(d1).squeeze(1),
-            )
+            if n_cls is None:
+                return (
+                    self.conv1x1(d1).squeeze(1),
+                    self.conv_select(d1).squeeze(1),
+                    self.conv_aux(d1).squeeze(1),
+                )
+            return self.conv1x1(d1), self.conv_select(d1), self.conv_aux(d1)
 
     return TorchUNetB()
 
@@ -187,3 +192,62 @@ def test_lockstep_selective_training_equivalence(tmp_path):
     # and the trajectories must actually move (guard against trivially-equal
     # constants masking a broken step)
     assert abs(jax_traj[0, 0] - jax_traj[-1, 0]) > 1e-3
+
+
+@pytest.mark.slow
+def test_lockstep_ce_sgd_training_equivalence(tmp_path):
+    """Same lockstep proof for the OTHER objective family: UNet (n_cls
+    heads), CrossEntropy + selective CE risk (selective_loss.py:24-56), SGD
+    with momentum and weight decay (reference train.py:91-95)."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    torch.manual_seed(0)
+    torch.set_num_threads(2)
+    MOMENTUM, WDECAY = 0.9, 1e-4
+
+    cfg = TrainConfig(
+        model_arch="UNet", n_cls=2, selective=True, loss="CE", s_lamb=S_LAMB,
+        target_coverage=TARGET_COVERAGE, optim="SGD", momentum=MOMENTUM,
+        w_decay=WDECAY, lr=LR, compute_dtype="float32", batch_size=BATCH,
+        patch_size=SIZE, drop_last=True, log_img=False,
+    )
+    model = build_model(cfg.model_arch, cfg.n_cls, cfg.selective, cfg.compute_dtype)
+    tx = build_optimizer(cfg)
+    state = create_state(cfg, model, tx, jax.random.PRNGKey(5))
+    step = make_train_step(model, cfg, tx)
+
+    ckpt = str(tmp_path / "init_ce.pth")
+    export_torch_checkpoint(
+        {"params": state.params, "batch_stats": state.batch_stats}, ckpt
+    )
+    net = _build_torch_unetb(torch, n_cls=2)
+    net.load_state_dict(torch.load(ckpt, weights_only=False)["net"])
+    net.train()
+    opt = torch.optim.SGD(net.parameters(), lr=LR, momentum=MOMENTUM,
+                          weight_decay=WDECAY)
+
+    jax_traj, torch_traj = [], []
+    for i, (x, y) in enumerate(_make_batches(N_STEPS)):
+        xt = torch.from_numpy(x.transpose(0, 3, 1, 2).copy())
+        yt = torch.from_numpy(y.astype(np.int64))
+        out, sel, aux = net(xt)
+        aux_loss = F.cross_entropy(aux, yt)
+        g = torch.softmax(sel, dim=1)[:, 1]
+        coverage = g.mean()
+        picked = F.log_softmax(out, dim=1).gather(1, yt.unsqueeze(1)).squeeze(1)
+        risk = -(picked * g).mean() / coverage
+        sel_loss = risk + S_LAMB * torch.clamp(
+            TARGET_COVERAGE - coverage, min=0.0) ** 2
+        loss = aux_loss + sel_loss
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        torch_traj.append(tuple(float(t.detach()) for t in (loss, coverage)))
+
+        batch = {"input": jnp.asarray(x), "label": jnp.asarray(y)}
+        state, metrics = step(state, batch, LR, jax.random.PRNGKey(200 + i))
+        jax_traj.append((float(metrics["loss"]), float(metrics["coverage"])))
+
+    np.testing.assert_allclose(np.asarray(jax_traj), np.asarray(torch_traj),
+                               rtol=1e-3, atol=1e-4)
