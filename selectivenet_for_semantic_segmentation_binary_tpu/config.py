@@ -84,6 +84,8 @@ class TrainConfig:
     device_preproc: bool = True      # ship raw uint8, normalize/flip on device
     fused_cbr: str = "auto"          # fused-CBR Pallas trunk: auto | on | off
                                      # (auto = off: see train_lib.resolve_fused)
+    ckpt_async: bool = False         # overlap checkpoint serialize+write with
+                                     # the next epoch (one-slot background thread)
 
     @property
     def n_devices(self) -> int:

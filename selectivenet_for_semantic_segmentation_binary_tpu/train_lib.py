@@ -54,6 +54,7 @@ from .ops.confusion import confusion_matrix_update
 from .optim import build_optimizer, build_scheduler
 from .parallel.mesh import batch_sharding, make_mesh, replicate
 from .utils.checkpoint import (
+    AsyncCheckpointWriter,
     latest_checkpoint,
     load_checkpoint,
     load_net_checkpoint,
@@ -488,6 +489,8 @@ def train(cfg: TrainConfig, loaders=None, verbose: bool = True) -> Dict[str, Any
     writer_train = SummaryWriter(f"{cfg.log_dir}/train")
     writer_valid = SummaryWriter(f"{cfg.log_dir}/valid")
 
+    ckpt_writer = AsyncCheckpointWriter() if getattr(cfg, "ckpt_async", False) else None
+
     final: Dict[str, Any] = {}
     for epoch in range(start_epoch + 1, start_epoch + cfg.n_epoch + 1):
         current_lr = scheduler.lr
@@ -548,18 +551,20 @@ def train(cfg: TrainConfig, loaders=None, verbose: bool = True) -> Dict[str, Any
                 )
 
         host_state = jax.device_get(state)
-        save_checkpoint(
-            cfg.ckpt_dir,
-            {
-                "net": {"params": host_state.params, "batch_stats": host_state.batch_stats},
-                "optim": _opt_state_dict(host_state.opt_state),
-                "scheduler": scheduler.state_dict(),
-                "epoch": epoch,
-            },
-            epoch,
-        )
+        payload = {
+            "net": {"params": host_state.params, "batch_stats": host_state.batch_stats},
+            "optim": _opt_state_dict(host_state.opt_state),
+            "scheduler": scheduler.state_dict(),
+            "epoch": epoch,
+        }
+        if ckpt_writer is not None:
+            ckpt_writer.save(cfg.ckpt_dir, payload, epoch)
+        else:
+            save_checkpoint(cfg.ckpt_dir, payload, epoch)
         final = {"epoch": epoch, "train": tr, "valid": va, "state": state}
 
+    if ckpt_writer is not None:
+        ckpt_writer.wait()
     writer_train.close()
     writer_valid.close()
     return final

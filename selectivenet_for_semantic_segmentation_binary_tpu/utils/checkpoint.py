@@ -61,6 +61,52 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
         return serialization.msgpack_restore(f.read())
 
 
+class AsyncCheckpointWriter:
+    """One-slot background checkpoint writer (``--ckpt_async 1``).
+
+    Overlaps msgpack serialization + disk IO with the next epoch's compute —
+    the async-save benefit an orbax CheckpointManager would bring, without
+    changing the reference-parity on-disk layout (orbax writes per-step
+    directories, not ``model_epoch{N}`` files; the layout is parity surface,
+    reference net_utils.py:5-9). The caller must pass a HOST pytree
+    (``jax.device_get`` first): train steps donate the device state, so a
+    background thread must never hold device references.
+
+    ``save`` joins the previous write first, so at most one write is ever
+    outstanding and files land in epoch order (digit-sorted resume only
+    needs ordering). ``wait`` must be called before the process exits and
+    before any read-back (tests, eval-after-train).
+    """
+
+    def __init__(self) -> None:
+        self._thread = None
+        self._error: Optional[BaseException] = None
+
+    def save(self, ckpt_dir: str, state: Dict[str, Any], epoch: int) -> None:
+        import threading
+
+        self.wait()
+
+        def _write():
+            try:
+                save_checkpoint(ckpt_dir, state, epoch)
+            except BaseException as e:  # surfaced on the next save()/wait()
+                self._error = e
+
+        self._thread = threading.Thread(
+            target=_write, name=f"ckpt-epoch{epoch}", daemon=True
+        )
+        self._thread.start()
+
+    def wait(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
+
+
 def _epoch_of(filename: str) -> int:
     digits = "".join(re.findall(r"\d+", filename))
     return int(digits) if digits else -1

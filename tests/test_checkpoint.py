@@ -16,6 +16,7 @@ import pytest
 
 from selectivenet_for_semantic_segmentation_binary_tpu.models import UNetB
 from selectivenet_for_semantic_segmentation_binary_tpu.utils.checkpoint import (
+    AsyncCheckpointWriter,
     latest_checkpoint,
     list_checkpoints,
     load_checkpoint,
@@ -175,6 +176,35 @@ class TestTorchInterchange:
 
         assert paths(variables["params"]) == paths(ref["params"])
         assert paths(variables["batch_stats"]) == paths(ref["batch_stats"])
+
+
+class TestAsyncWriter:
+    def test_writes_match_sync_format(self, tmp_path, rng):
+        w = AsyncCheckpointWriter()
+        for epoch in (1, 2, 3):
+            state = {"net": {"params": {"w": np.full((4, 4), float(epoch), np.float32)}},
+                     "epoch": epoch}
+            w.save(str(tmp_path), state, epoch)
+        w.wait()
+        found = latest_checkpoint(str(tmp_path))
+        assert found is not None and found[1] == 3
+        loaded = load_checkpoint(found[0])
+        assert loaded["epoch"] == 3
+        np.testing.assert_array_equal(loaded["net"]["params"]["w"], 3.0)
+        assert len(list_checkpoints(str(tmp_path))) == 3
+
+    def test_write_error_surfaces_on_wait(self, tmp_path):
+        w = AsyncCheckpointWriter()
+        # a directory path that is actually a file -> makedirs/open fails
+        blocker = tmp_path / "ckpt"
+        blocker.write_text("not a directory")
+        w.save(str(blocker), {"epoch": 1}, 1)
+        with pytest.raises(Exception):
+            w.wait()
+        # the writer is reusable after the error is consumed
+        w.save(str(tmp_path), {"epoch": 2}, 2)
+        w.wait()
+        assert latest_checkpoint(str(tmp_path))[1] == 2
 
 
 class TestCorruptCheckpointResilience:

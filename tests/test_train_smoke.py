@@ -126,6 +126,23 @@ class TestTrainVariants:
         result = train(cfg, verbose=False)
         assert np.isfinite(result["train"].loss)
 
+    def test_async_checkpointing(self, data_dir, tmp_path):
+        cfg = _cfg(data_dir, str(tmp_path / "model"), ckpt_async=True)
+        result = train(cfg, verbose=False)
+        assert result["epoch"] == 2
+        # both epochs landed in the reference layout and the latest resumes
+        root = tmp_path / "model" / "1-fold" / "checkpoint"
+        assert (root / "model_epoch1.ckpt").exists()
+        assert (root / "model_epoch2.ckpt").exists()
+        from selectivenet_for_semantic_segmentation_binary_tpu.utils.checkpoint import (
+            latest_checkpoint,
+            load_checkpoint,
+        )
+
+        path, epoch = latest_checkpoint(str(root))
+        assert epoch == 2
+        assert load_checkpoint(path)["epoch"] == 2
+
     def test_sgd_momentum_and_cosine(self, data_dir, tmp_path):
         cfg = _cfg(
             data_dir, str(tmp_path / "model"),
