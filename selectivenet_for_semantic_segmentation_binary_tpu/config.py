@@ -86,6 +86,8 @@ class TrainConfig:
                                      # (auto = off: see train_lib.resolve_fused)
     ckpt_async: bool = False         # overlap checkpoint serialize+write with
                                      # the next epoch (one-slot background thread)
+    keep_ckpt: int = 0               # retain only the newest N .ckpt files
+                                     # (0 = keep every epoch, reference behavior)
 
     @property
     def n_devices(self) -> int:

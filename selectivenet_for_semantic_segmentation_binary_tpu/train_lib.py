@@ -58,6 +58,7 @@ from .utils.checkpoint import (
     latest_checkpoint,
     load_checkpoint,
     load_net_checkpoint,
+    prune_checkpoints,
     save_checkpoint,
 )
 from .utils.metrics import Evaluator
@@ -557,10 +558,12 @@ def train(cfg: TrainConfig, loaders=None, verbose: bool = True) -> Dict[str, Any
             "scheduler": scheduler.state_dict(),
             "epoch": epoch,
         }
+        keep = getattr(cfg, "keep_ckpt", 0)
         if ckpt_writer is not None:
-            ckpt_writer.save(cfg.ckpt_dir, payload, epoch)
+            ckpt_writer.save(cfg.ckpt_dir, payload, epoch, keep=keep)
         else:
             save_checkpoint(cfg.ckpt_dir, payload, epoch)
+            prune_checkpoints(cfg.ckpt_dir, keep)
         final = {"epoch": epoch, "train": tr, "valid": va, "state": state}
 
     if ckpt_writer is not None:

@@ -61,6 +61,23 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
         return serialization.msgpack_restore(f.read())
 
 
+def prune_checkpoints(ckpt_dir: str, keep: int) -> None:
+    """Retention policy (TPU-native extension; the reference keeps every
+    epoch, net_save net_utils.py:5-9): delete all but the newest ``keep``
+    native .ckpt files, ordered by the digits in their names. ``keep <= 0``
+    keeps everything. Reference .pth files are never touched — they are
+    imported artifacts, not this run's output."""
+    if keep <= 0 or not os.path.isdir(ckpt_dir):
+        return
+    files = [f for f in os.listdir(ckpt_dir) if f.endswith(".ckpt")]
+    files.sort(key=_epoch_of)
+    for name in files[:-keep]:
+        try:
+            os.remove(os.path.join(ckpt_dir, name))
+        except OSError:
+            pass  # already gone / permission: retention is best-effort
+
+
 class AsyncCheckpointWriter:
     """One-slot background checkpoint writer (``--ckpt_async 1``).
 
@@ -82,7 +99,8 @@ class AsyncCheckpointWriter:
         self._thread = None
         self._error: Optional[BaseException] = None
 
-    def save(self, ckpt_dir: str, state: Dict[str, Any], epoch: int) -> None:
+    def save(self, ckpt_dir: str, state: Dict[str, Any], epoch: int,
+             keep: int = 0) -> None:
         import threading
 
         self.wait()
@@ -90,6 +108,7 @@ class AsyncCheckpointWriter:
         def _write():
             try:
                 save_checkpoint(ckpt_dir, state, epoch)
+                prune_checkpoints(ckpt_dir, keep)
             except BaseException as e:  # surfaced on the next save()/wait()
                 self._error = e
 

@@ -55,6 +55,30 @@ class TestNativeCheckpoint:
         assert len(paths) == 2
         assert all(p.endswith(".ckpt") for p in paths)
 
+    def test_prune_keeps_newest_by_digits(self, tmp_path):
+        from selectivenet_for_semantic_segmentation_binary_tpu.utils.checkpoint import (
+            prune_checkpoints,
+        )
+
+        for e in [1, 2, 9, 10, 11]:  # digit order, not lexicographic
+            save_checkpoint(str(tmp_path), {"epoch": e}, e)
+        # A reference .pth import artifact must survive pruning.
+        (tmp_path / "model_epoch0.pth").write_bytes(b"torch")
+        prune_checkpoints(str(tmp_path), keep=2)
+        left = sorted(os.listdir(tmp_path))
+        assert left == ["model_epoch0.pth", "model_epoch10.ckpt", "model_epoch11.ckpt"]
+
+    def test_prune_zero_keeps_everything(self, tmp_path):
+        from selectivenet_for_semantic_segmentation_binary_tpu.utils.checkpoint import (
+            prune_checkpoints,
+        )
+
+        for e in [1, 2, 3]:
+            save_checkpoint(str(tmp_path), {"epoch": e}, e)
+        prune_checkpoints(str(tmp_path), keep=0)
+        prune_checkpoints(str(tmp_path / "missing-dir"), keep=3)  # no-op, no raise
+        assert len(list_checkpoints(str(tmp_path))) == 3
+
 
 def _random_torch_state_dict(rng, input_ch=3, selective=True, prefix=""):
     """Reference-named random state dict (names from reference model.py)."""
