@@ -6,6 +6,8 @@ from .data_split import (  # noqa: F401
     tumor_pixel_report,
     tumor_proportion_histogram,
 )
+from .inspect_ckpt import compare as compare_checkpoints  # noqa: F401
+from .inspect_ckpt import summarize as summarize_checkpoint  # noqa: F401
 from .sweep import Variant, default_grid, run_sweep  # noqa: F401
 from .tiled_inference import tiled_inference, wsi_mask  # noqa: F401
 from .uncertainty import mc_uncertainty  # noqa: F401

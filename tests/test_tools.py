@@ -192,3 +192,76 @@ class TestMCUncertainty:
         x = jnp.asarray(rng.standard_normal((1, 16, 16, 3)).astype(np.float32))
         out = mc_uncertainty(model, variables, x, n_iter=4, rng=jax.random.PRNGKey(1))
         np.testing.assert_allclose(np.asarray(out["variance"]), 0.0, atol=1e-7)
+
+
+class TestInspectCkpt:
+    """tools/inspect_ckpt.py — check_net.ipynb parity (key sets, module. prefix,
+    DP/native interchange comparison)."""
+
+    @pytest.fixture(scope="class")
+    def ckpt_pair(self, tmp_path_factory):
+        """A native .ckpt and its exported .pth (with module. prefix) of the
+        same selective UNet_B init."""
+        import torch
+
+        from selectivenet_for_semantic_segmentation_binary_tpu.utils.checkpoint import (
+            save_checkpoint,
+            variables_to_torch_state_dict,
+        )
+
+        d = tmp_path_factory.mktemp("inspect")
+        model = UNetB(selective=True)
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)), train=False)
+        native = save_checkpoint(str(d), {"net": variables, "epoch": 3}, 3)
+        sd = {
+            "module." + k: torch.from_numpy(np.ascontiguousarray(v))
+            for k, v in variables_to_torch_state_dict(variables).items()
+        }
+        pth = os.path.join(str(d), "model_epoch3.pth")
+        torch.save({"net": sd, "optim": {}}, pth)
+        return native, pth
+
+    def test_summarize_native(self, ckpt_pair):
+        from selectivenet_for_semantic_segmentation_binary_tpu.tools import (
+            summarize_checkpoint,
+        )
+
+        info = summarize_checkpoint(ckpt_pair[0])
+        assert info["format"] == "native"
+        assert info["epoch_stored"] == 3
+        assert info["selective"] is True
+        assert info["dataparallel_prefix"] is False
+        assert info["n_params"] > 7_000_000  # the 7.70M-param UNet_B
+
+    def test_summarize_torch_detects_dp_prefix(self, ckpt_pair):
+        from selectivenet_for_semantic_segmentation_binary_tpu.tools import (
+            summarize_checkpoint,
+        )
+
+        info = summarize_checkpoint(ckpt_pair[1])
+        assert info["format"] == "torch"
+        assert info["dataparallel_prefix"] is True
+        assert info["selective"] is True
+        assert "net" in info["payload_keys"] and "optim" in info["payload_keys"]
+
+    def test_compare_native_vs_dp_torch_matches(self, ckpt_pair):
+        """The notebook's DP-vs-bare interchange check: identical key sets and
+        shapes once both formats are canonicalised (net_utils.py:11-16)."""
+        from selectivenet_for_semantic_segmentation_binary_tpu.tools import (
+            compare_checkpoints,
+        )
+
+        d = compare_checkpoints(ckpt_pair[0], ckpt_pair[1])
+        assert d["only_in_a"] == [] and d["only_in_b"] == []
+        assert d["shape_mismatch"] == {}
+        # 14 CBR x 6 tensors + 3 upconv x 2 + 3 heads x 2 = 96
+        assert d["n_shared"] == 96
+
+    def test_cli_runs(self, ckpt_pair, capsys):
+        from selectivenet_for_semantic_segmentation_binary_tpu.tools.inspect_ckpt import (
+            main,
+        )
+
+        main([ckpt_pair[0], "--compare", ckpt_pair[1]])
+        out = capsys.readouterr().out
+        assert "MATCH: identical key sets and shapes" in out
