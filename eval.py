@@ -14,18 +14,7 @@ the --ens_scale rescale. --select_eval 1 reports in-coverage metrics and the
 rejection ratio.
 """
 
-from selectivenet_for_semantic_segmentation_binary_tpu.config import parse_eval_args
-from selectivenet_for_semantic_segmentation_binary_tpu.eval_lib import evaluate
-
-
-def main() -> None:
-    cfg = parse_eval_args()
-    print("")
-    print(f"args={cfg}\n")
-    if cfg.info_print:
-        print("Load Tumor Segmentation Model...")
-    print("Model Prediction...")
-    evaluate(cfg)
+from selectivenet_for_semantic_segmentation_binary_tpu.cli import eval_main as main
 
 
 if __name__ == "__main__":

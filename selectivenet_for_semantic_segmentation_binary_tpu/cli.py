@@ -1,0 +1,67 @@
+"""Installable console entry points (``[project.scripts]`` in pyproject.toml).
+
+The reference is driven as ``python3 train.py`` / ``python3 eval.py``
+(reference README.md:28-68) and those repo-root shims are kept verbatim; this
+module additionally exposes the same drivers as installed commands
+(``snet-train``, ``snet-eval``, ``snet-split``, ``snet-sweep``,
+``snet-inspect-ckpt``) so the framework works as a pip-installed package
+without a checkout.
+"""
+
+from __future__ import annotations
+
+
+def _maybe_init_distributed() -> None:
+    """Join a multi-process fleet when launched under a managed TPU-pod /
+    cluster environment (no-op otherwise). Must run before any device access
+    so the backend spans all hosts (parallel/multihost.py)."""
+    from .parallel.multihost import initialize
+
+    initialize()
+
+
+def train_main() -> None:
+    from .config import parse_train_args
+    from .train_lib import train
+
+    cfg = parse_train_args()
+    _maybe_init_distributed()
+    print("")
+    print(f"args={cfg}\n")
+
+    import jax
+
+    print(f"# of devices: {len(jax.devices())}, mesh size: {cfg.n_devices}\n")
+    train(cfg)
+
+
+def eval_main() -> None:
+    from .config import parse_eval_args
+    from .eval_lib import evaluate
+
+    cfg = parse_eval_args()
+    _maybe_init_distributed()
+    print("")
+    print(f"args={cfg}\n")
+    if cfg.info_print:
+        print("Load Tumor Segmentation Model...")
+    print("Model Prediction...")
+    evaluate(cfg)
+
+
+def split_main() -> None:
+    from .tools.data_split import main
+
+    main()
+
+
+def sweep_main() -> None:
+    from .tools.sweep import main
+
+    main()
+
+
+def inspect_ckpt_main() -> None:
+    from .tools.inspect_ckpt import main
+
+    main()

@@ -14,19 +14,7 @@ CUDA device ids. Checkpoints/logs land in the reference layout
 from the digit-latest checkpoint when rerun with the same command.
 """
 
-from selectivenet_for_semantic_segmentation_binary_tpu.config import parse_train_args
-from selectivenet_for_semantic_segmentation_binary_tpu.train_lib import train
-
-
-def main() -> None:
-    cfg = parse_train_args()
-    print("")
-    print(f"args={cfg}\n")
-
-    import jax
-
-    print(f"# of devices: {len(jax.devices())}, mesh size: {cfg.n_devices}\n")
-    train(cfg)
+from selectivenet_for_semantic_segmentation_binary_tpu.cli import train_main as main
 
 
 if __name__ == "__main__":
