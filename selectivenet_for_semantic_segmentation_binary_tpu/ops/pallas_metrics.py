@@ -86,7 +86,13 @@ def _metrics_kernel(f_ref, g_ref, l_ref, out_ref, *, apply_sigmoid: bool,
     # <= TILE_ROWS*LANES = 65536, exact in float32; the caller integer-sums
     # the rows so counts stay exact for arbitrarily large batches (a running
     # f32 total would silently lose counts past 2^24 pixels per cell).
-    out_ref[:] = partial
+    #
+    # The block is (1, 8, LANES) — Mosaic requires the last two block dims
+    # divisible by (8, 128), so a bare (1, LANES) row per tile only lowers
+    # when the grid has exactly one step. The partials live in sublane row 0;
+    # rows 1-7 are zeros and drop out of the caller's sum.
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
+    out_ref[:] = jnp.where(row == 0, partial, 0.0).reshape(1, 8, LANES)
 
 
 @functools.partial(
@@ -139,13 +145,13 @@ def fused_eval_metrics(
             pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((num_tiles, LANES), jnp.float32),
+        out_specs=pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, 8, LANES), jnp.float32),
         interpret=interpret,
     )(f2, g2, l2)
 
     # integer-sum the exact per-tile partials (see kernel comment)
-    tot = jnp.sum(out.astype(jnp.int32), axis=0)
+    tot = jnp.sum(out.astype(jnp.int32), axis=(0, 1))
     cm = jnp.stack([tot[0], tot[1], tot[2], tot[3]]).reshape(2, 2)
     return {
         "cm": cm,
