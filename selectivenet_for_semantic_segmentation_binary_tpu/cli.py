@@ -65,3 +65,9 @@ def inspect_ckpt_main() -> None:
     from .tools.inspect_ckpt import main
 
     main()
+
+
+def calibrate_main() -> None:
+    from .tools.calibrate import main
+
+    main()

@@ -1,0 +1,144 @@
+"""Selection-threshold calibration (TPU-native extension).
+
+The reference evaluates with a fixed ``--s_cut_off 0.5`` (eval.py:45): the
+fraction of pixels actually rejected is whatever the trained selection head
+happens to produce at 0.5 — it tracks the train-time ``--target_coverage``
+only loosely. This tool picks the threshold that achieves a REQUESTED
+empirical coverage on a calibration split (SelectiveNet's standard post-hoc
+calibration step): run the selective model once, accumulate an on-device
+histogram of the selection confidence g = sigmoid(selection) over valid
+pixels, and return the (1 - coverage)-quantile as the threshold.
+
+Usage::
+
+    python -m selectivenet_for_semantic_segmentation_binary_tpu.tools.calibrate \
+        --data_dir /data --fold 1 --model_dir /model/1-fold/checkpoint \
+        --model_arch UNet_B --target_coverage 0.8
+
+then evaluate with the printed ``--s_cut_off``.
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import EvalConfig
+from ..parallel.mesh import make_mesh, replicate
+from ..train_lib import device_preprocess
+
+N_BINS = 4096
+
+
+def make_histogram_step(model, n_cls: int):
+    """Jitted (variables, batch) -> int32[N_BINS] histogram of the selection
+    confidence over valid (non-padded) pixels."""
+
+    def step(variables, batch):
+        x, label = device_preprocess(batch)
+        out = model.apply(
+            {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+            x, train=False,
+        )
+        _output, selection, _aux = out
+        if selection.ndim == 3:  # binary head (BCE form)
+            g = jax.nn.sigmoid(selection)
+        else:  # CE form: P(select) = softmax channel 1 (selective_loss.py:41)
+            g = jax.nn.softmax(selection, axis=-1)[..., 1]
+        valid = (label >= 0) & (label < n_cls)
+        idx = jnp.clip((g * N_BINS).astype(jnp.int32), 0, N_BINS - 1)
+        # one histogram bump per valid pixel; invalid pixels land in a
+        # scratch bin that is dropped on the host
+        idx = jnp.where(valid, idx, N_BINS)
+        return jnp.zeros(N_BINS + 1, jnp.int32).at[idx.reshape(-1)].add(1)[:N_BINS]
+
+    return jax.jit(step)
+
+
+def threshold_for_coverage(hist: np.ndarray, target_coverage: float) -> Dict[str, float]:
+    """Largest bin edge t with P(g >= t) >= target_coverage — the
+    (1 - coverage)-quantile, erring on the inclusive side so the achieved
+    coverage is never below the request (up to one bin of granularity)."""
+    total = int(hist.sum())
+    if total == 0:
+        raise ValueError("empty calibration split")
+    # cov[i] = fraction of pixels with g >= the lower edge of bin i
+    cov = (np.cumsum(hist[::-1])[::-1] / total).astype(np.float64)
+    ok = np.nonzero(cov >= target_coverage)[0]
+    bin_idx = int(ok[-1]) if len(ok) else 0
+    return {
+        "s_cut_off": bin_idx / N_BINS,
+        "achieved_coverage": float(cov[bin_idx]),
+        "n_pixels": total,
+    }
+
+
+def calibrate(cfg: EvalConfig, target_coverage: float = 0.8,
+              data_list=None, verbose: bool = True) -> Dict[str, float]:
+    """Calibrate s_cut_off for ``target_coverage`` on the test fold (or an
+    explicit ``data_list`` — pass the VALID split to keep the test fold
+    untouched, the methodologically clean choice)."""
+    from ..eval_lib import load_models, make_eval_loader
+
+    if not cfg.selective:
+        raise ValueError("calibration requires a selective model")
+    mesh = make_mesh(cfg.n_devices)
+    model, variables_list = load_models(cfg)
+    if len(variables_list) != 1:
+        raise ValueError("calibrate one checkpoint at a time "
+                         f"(found {len(variables_list)} in {cfg.model_dir})")
+    variables = replicate(variables_list[0], mesh)
+
+    loader = make_eval_loader(cfg, mesh, data_list=data_list)
+    step = make_histogram_step(model, cfg.n_cls)
+
+    hist = np.zeros(N_BINS, np.int64)
+    for batch in loader:
+        device_batch = {k: batch[k] for k in ("input", "label", "flips") if k in batch}
+        hist += np.asarray(jax.device_get(step(variables, device_batch)), np.int64)
+
+    res = threshold_for_coverage(hist, target_coverage)
+    if verbose:
+        print(f"calibrated on {res['n_pixels']:,} pixels: "
+              f"--s_cut_off {res['s_cut_off']:.6f} "
+              f"-> empirical coverage {res['achieved_coverage']:.4f} "
+              f"(requested {target_coverage})")
+    return res
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__.split("\n", 1)[0])
+    p.add_argument("--data_dir", required=True)
+    p.add_argument("--fold", "--test_fold", dest="fold", type=int, required=True)
+    p.add_argument("--model_dir", required=True)
+    p.add_argument("--model_arch", default="UNet_B")
+    p.add_argument("--input_type", default="RGB")
+    p.add_argument("--patch_mag", type=int, default=200)
+    p.add_argument("--patch_size", type=int, default=256)
+    p.add_argument("--n_cls", type=int, default=2)
+    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--target_coverage", type=float, default=0.8)
+    p.add_argument("--split", choices=["test", "valid"], default="valid",
+                   help="calibration split; 'valid' keeps the test fold clean")
+    a = p.parse_args(argv)
+
+    cfg = EvalConfig(
+        data_dir=a.data_dir, test_fold=a.fold, model_dir=a.model_dir,
+        model_arch=[a.model_arch], selective=True, select_eval=True,
+        input_type=a.input_type, patch_mag=a.patch_mag, patch_size=a.patch_size,
+        n_cls=a.n_cls, batch_size=a.batch_size,
+    )
+    data_list = None
+    if a.split == "valid":
+        from ..data import construct_train_valid
+
+        _train, data_list = construct_train_valid(a.data_dir, test_fold=a.fold)
+    calibrate(cfg, a.target_coverage, data_list=data_list)
+
+
+if __name__ == "__main__":
+    main()
