@@ -58,6 +58,7 @@ def split_main() -> None:
 def sweep_main() -> None:
     from .tools.sweep import main
 
+    _maybe_init_distributed()  # the sweep trains: same fleet semantics as train
     main()
 
 

@@ -36,7 +36,11 @@ N_BINS = 4096
 
 def make_histogram_step(model, n_cls: int):
     """Jitted (variables, batch) -> int32[N_BINS] histogram of the selection
-    confidence over valid (non-padded) pixels."""
+    confidence sigmoid(selection) over valid (non-padded) pixels.
+
+    The histogram always lives in sigmoid space — sigmoid is monotonic, so
+    quantiles commute and the caller maps the threshold back to logit space
+    when eval will compare raw logits (single_scale != 'sigmoid')."""
 
     def step(variables, batch):
         x, label = device_preprocess(batch)
@@ -45,10 +49,15 @@ def make_histogram_step(model, n_cls: int):
             x, train=False,
         )
         _output, selection, _aux = out
-        if selection.ndim == 3:  # binary head (BCE form)
-            g = jax.nn.sigmoid(selection)
-        else:  # CE form: P(select) = softmax channel 1 (selective_loss.py:41)
-            g = jax.nn.softmax(selection, axis=-1)[..., 1]
+        if selection.ndim != 3:
+            # CE-form (UNet) selection is a 2-channel softmax evaluated by
+            # argmax — eval never consults s_cut_off there (eval_lib's 4-D
+            # branch), so a calibrated threshold would be unusable.
+            raise ValueError(
+                "s_cut_off calibration applies to binary (BCE-form, UNet_B) "
+                "selection heads only; CE-form selection is argmax-evaluated"
+            )
+        g = jax.nn.sigmoid(selection)
         valid = (label >= 0) & (label < n_cls)
         idx = jnp.clip((g * N_BINS).astype(jnp.int32), 0, N_BINS - 1)
         # one histogram bump per valid pixel; invalid pixels land in a
@@ -86,6 +95,11 @@ def calibrate(cfg: EvalConfig, target_coverage: float = 0.8,
 
     if not cfg.selective:
         raise ValueError("calibration requires a selective model")
+    if cfg.model_arch[0] != "UNet_B":
+        raise ValueError(
+            "s_cut_off calibration applies to binary (BCE-form, UNet_B) "
+            "selection heads only; CE-form (UNet) selection is argmax-evaluated"
+        )
     mesh = make_mesh(cfg.n_devices)
     model, variables_list = load_models(cfg)
     if len(variables_list) != 1:
@@ -96,15 +110,29 @@ def calibrate(cfg: EvalConfig, target_coverage: float = 0.8,
     loader = make_eval_loader(cfg, mesh, data_list=data_list)
     step = make_histogram_step(model, cfg.n_cls)
 
-    hist = np.zeros(N_BINS, np.int64)
+    # device-side accumulation, one D2H fetch after the loop (the eval_lib
+    # pattern) — a per-batch device_get would serialize decode vs compute
+    hists = []
     for batch in loader:
         device_batch = {k: batch[k] for k in ("input", "label", "flips") if k in batch}
-        hist += np.asarray(jax.device_get(step(variables, device_batch)), np.int64)
+        hists.append(step(variables, device_batch))
+    hist = np.sum(np.asarray(jax.device_get(hists), np.int64), axis=0)
 
     res = threshold_for_coverage(hist, target_coverage)
+    # eval compares the selection through _threshold_scale: sigmoid space only
+    # when single_scale == 'sigmoid'; for the no-op modes ('None'/'clip'/
+    # 'minmax', eval.py:241-243) eval thresholds RAW logits, so map the
+    # sigmoid-space quantile back through the (monotonic) logit.
+    if getattr(cfg, "single_scale", "sigmoid") != "sigmoid":
+        t = min(max(res["s_cut_off"], 1.0 / (2 * N_BINS)), 1.0 - 1.0 / (2 * N_BINS))
+        res["s_cut_off"] = float(np.log(t / (1.0 - t)))
+        res["space"] = "logit"
+    else:
+        res["space"] = "sigmoid"
     if verbose:
         print(f"calibrated on {res['n_pixels']:,} pixels: "
-              f"--s_cut_off {res['s_cut_off']:.6f} "
+              f"--s_cut_off {res['s_cut_off']:.6f} ({res['space']} space, "
+              f"--single_scale {getattr(cfg, 'single_scale', 'sigmoid')}) "
               f"-> empirical coverage {res['achieved_coverage']:.4f} "
               f"(requested {target_coverage})")
     return res
@@ -121,6 +149,10 @@ def main(argv=None) -> None:
     p.add_argument("--patch_size", type=int, default=256)
     p.add_argument("--n_cls", type=int, default=2)
     p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--single_scale", default="sigmoid",
+                   choices=["None", "clip", "minmax", "sigmoid"],
+                   help="must match the --single_scale you will evaluate with; "
+                        "non-sigmoid modes get a raw-logit threshold")
     p.add_argument("--target_coverage", type=float, default=0.8)
     p.add_argument("--split", choices=["test", "valid"], default="valid",
                    help="calibration split; 'valid' keeps the test fold clean")
@@ -130,7 +162,7 @@ def main(argv=None) -> None:
         data_dir=a.data_dir, test_fold=a.fold, model_dir=a.model_dir,
         model_arch=[a.model_arch], selective=True, select_eval=True,
         input_type=a.input_type, patch_mag=a.patch_mag, patch_size=a.patch_size,
-        n_cls=a.n_cls, batch_size=a.batch_size,
+        n_cls=a.n_cls, batch_size=a.batch_size, single_scale=a.single_scale,
     )
     data_list = None
     if a.split == "valid":

@@ -558,7 +558,7 @@ def train(cfg: TrainConfig, loaders=None, verbose: bool = True) -> Dict[str, Any
             "scheduler": scheduler.state_dict(),
             "epoch": epoch,
         }
-        keep = getattr(cfg, "keep_ckpt", 0)
+        keep = cfg.keep_ckpt
         if ckpt_writer is not None:
             ckpt_writer.save(cfg.ckpt_dir, payload, epoch, keep=keep)
         else:

@@ -109,3 +109,36 @@ class TestEndToEnd:
         cfg.selective = False
         with pytest.raises(ValueError):
             calibrate(cfg, 0.8, verbose=False)
+
+    def test_raw_logit_space_when_single_scale_none(self, setup):
+        """With --single_scale None eval thresholds RAW selection logits, so
+        the calibrated threshold must come back logit-transformed and still
+        reproduce the requested coverage in eval."""
+        from selectivenet_for_semantic_segmentation_binary_tpu.eval_lib import (
+            evaluate,
+        )
+
+        data_dir, ckpt_dir = setup
+        cfg = EvalConfig(
+            data_dir=data_dir, test_fold=1, model_dir=ckpt_dir,
+            model_arch=["UNet_B"], selective=True, select_eval=True,
+            patch_size=32, batch_size=4, single_scale="None",
+        )
+        res = calibrate(cfg, target_coverage=0.6, verbose=False)
+        assert res["space"] == "logit"
+        ecfg = EvalConfig(
+            data_dir=data_dir, test_fold=1, model_dir=ckpt_dir,
+            model_arch=["UNet_B"], selective=True, select_eval=True,
+            patch_size=32, batch_size=4, single_scale="None",
+            s_cut_off=res["s_cut_off"],
+        )
+        metrics = evaluate(ecfg, verbose=False)
+        achieved = 1.0 - metrics["rejection_ratio"]
+        assert achieved == pytest.approx(res["achieved_coverage"], abs=0.02)
+
+    def test_rejects_ce_form(self, setup):
+        data_dir, ckpt_dir = setup
+        cfg = self._cfg(data_dir, ckpt_dir)
+        cfg.model_arch = ["UNet"]
+        with pytest.raises(ValueError, match="argmax"):
+            calibrate(cfg, 0.8, verbose=False)
