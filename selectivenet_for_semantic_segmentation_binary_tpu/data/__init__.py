@@ -9,5 +9,9 @@ from .transforms import (  # noqa: F401
     RandomFlip,
     ToArray,
 )
-from .dataset import PatchDataset, write_synthetic_patch_tree  # noqa: F401
+from .dataset import (  # noqa: F401
+    PatchDataset,
+    write_hard_synthetic_patch_tree,
+    write_synthetic_patch_tree,
+)
 from .loader import PatchLoader  # noqa: F401

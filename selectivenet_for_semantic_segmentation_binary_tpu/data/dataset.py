@@ -147,6 +147,90 @@ class PatchDataset:
         return data
 
 
+def _smooth_field(rng, patch_size: int, coarse: int = 8) -> np.ndarray:
+    """Low-frequency random field in roughly [-1, 1]: coarse Gaussian noise
+    bilinearly upsampled to (patch_size, patch_size)."""
+    grid = rng.standard_normal((coarse, coarse)).astype(np.float32)
+    img = Image.fromarray(grid, mode="F").resize(
+        (patch_size, patch_size), Image.BILINEAR
+    )
+    return np.asarray(img)
+
+
+def write_hard_synthetic_patch_tree(
+    data_dir: str,
+    n_slides: int = 4,
+    patches_per_slide: int = 100,
+    patch_mag: int = 200,
+    patch_size: int = 256,
+    ambiguous_level: float = 0.17,
+    seed: int = 0,
+    n_folds: int = 5,
+) -> None:
+    """Reference-layout synthetic dataset with IRREDUCIBLE localized error —
+    the benchmark for the selective-prediction claim.
+
+    The easy generator (below) is color-separable, so every model saturates
+    and the reference's headline ordering — in-coverage metrics beat the
+    non-selective model (reference README.md:84-86) — cannot be exhibited.
+    Here each patch is partitioned by smooth random fields into three zones:
+
+    * benign tissue: pale pink texture, label 0;
+    * lesion: distinct purple texture, label 1;
+    * **ambiguous**: its own third appearance, but its label follows a HIDDEN
+      random field that leaves no trace in the pixels — irreducible ~50%
+      error wherever it occurs (~20% of pixels at the default level, sized to
+      sit inside the selective objective's 0.8 target coverage).
+
+    A plain model's accuracy is capped by the ambiguous mass; a selective
+    model can learn to reject exactly those pixels, so in-coverage metrics
+    recover toward the clean-zone ceiling. scripts/selective_benchmark.py
+    runs the full comparison; fold npy classification uses the reference's
+    10%-of-pixels tumorable rule (tumor_label-based_data_split.ipynb cell 0).
+    """
+    rng = np.random.default_rng(seed)
+    patch_dir = os.path.join(data_dir, f"{patch_mag}x_{patch_size}")
+    os.makedirs(patch_dir, exist_ok=True)
+
+    benign_rgb = np.array([222.0, 192.0, 205.0])
+    lesion_rgb = np.array([158.0, 92.0, 148.0])
+    ambig_rgb = np.array([190.0, 142.0, 176.0])
+
+    tumorable, non_tumorable = [], []
+    for s in range(n_slides):
+        for p in range(patches_per_slide):
+            x, y = 256 * p, 512 * p
+            stem = f"slide{s:02d}_{x}_{y}"
+
+            lesion_zone = _smooth_field(rng, patch_size) > rng.uniform(-0.2, 0.8)
+            ambiguous = np.abs(_smooth_field(rng, patch_size)) < ambiguous_level
+            hidden = _smooth_field(rng, patch_size) > 0.0  # invisible to the image
+
+            label01 = np.where(ambiguous, hidden, lesion_zone)
+
+            img = np.empty((patch_size, patch_size, 3), np.float32)
+            for zone, color in (
+                (~lesion_zone & ~ambiguous, benign_rgb),
+                (lesion_zone & ~ambiguous, lesion_rgb),
+                (ambiguous, ambig_rgb),  # appearance independent of `hidden`
+            ):
+                img[zone] = color + 12.0 * rng.standard_normal((int(zone.sum()), 3))
+            img = np.clip(img, 0, 255)
+
+            Image.fromarray(img.astype(np.uint8)).save(
+                os.path.join(patch_dir, f"{stem}_input.jpg"), quality=92
+            )
+            Image.fromarray((label01 * 255).astype(np.uint8)).save(
+                os.path.join(patch_dir, f"{stem}_label.png")
+            )
+
+            pair = (f"{stem}_input.jpg", f"{stem}_label.png")
+            is_tumorable = label01.mean() > 0.1  # the reference's 10% rule
+            (tumorable if is_tumorable else non_tumorable).append(pair)
+
+    _write_fold_npys(data_dir, tumorable, non_tumorable, n_folds)
+
+
 def write_synthetic_patch_tree(
     data_dir: str,
     n_slides: int = 2,
@@ -199,6 +283,10 @@ def write_synthetic_patch_tree(
             pair = (f"{stem}_input.jpg", f"{stem}_label.png")
             (tumorable if is_tumor else non_tumorable).append(pair)
 
+    _write_fold_npys(data_dir, tumorable, non_tumorable, n_folds)
+
+
+def _write_fold_npys(data_dir: str, tumorable, non_tumorable, n_folds: int) -> None:
     for class_name, pairs in (("tumorable", tumorable), ("non_tumorable", non_tumorable)):
         for i in range(n_folds):
             fold_pairs = pairs[i::n_folds]

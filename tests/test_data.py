@@ -1,5 +1,7 @@
 """Data-pipeline tests: stain math, fold splits, dataset contract, loader."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -311,3 +313,68 @@ class TestLoaderAbandonedIteration:
         while threading.active_count() > before and time.time() < deadline:
             time.sleep(0.05)
         assert threading.active_count() <= before
+
+
+class TestHardSyntheticTree:
+    """write_hard_synthetic_patch_tree: the irreducible-error benchmark task
+    (scripts/selective_benchmark.py's dataset)."""
+
+    @pytest.fixture(scope="class")
+    def hard_tree(self, tmp_path_factory):
+        from selectivenet_for_semantic_segmentation_binary_tpu.data import (
+            write_hard_synthetic_patch_tree,
+        )
+
+        d = tmp_path_factory.mktemp("hard")
+        write_hard_synthetic_patch_tree(
+            str(d), n_slides=2, patches_per_slide=15, patch_size=96, seed=1
+        )
+        return str(d)
+
+    def _load(self, tree):
+        from PIL import Image
+
+        pd = os.path.join(tree, "200x_96")
+        labels, imgs = [], []
+        for f in sorted(os.listdir(pd)):
+            arr = np.asarray(Image.open(os.path.join(pd, f)))
+            (labels if f.endswith("_label.png") else imgs).append(arr)
+        return np.stack(imgs).astype(np.float32), np.stack(labels)
+
+    def test_ambiguous_zone_has_coinflip_labels(self, hard_tree):
+        imgs, labels = self._load(hard_tree)
+        # the ambiguous zone is identifiable by its distinct mean color
+        dist = np.linalg.norm(imgs - np.array([190.0, 142.0, 176.0]), axis=-1)
+        amb = dist < 30
+        assert 0.10 < amb.mean() < 0.30  # ~20% of pixels by construction
+        # labels inside the zone are a hidden coin flip (no image signal)
+        assert abs(float((labels > 0)[amb].mean()) - 0.5) < 0.1
+        # outside the zone, tumor/benign textures match their labels: the
+        # lesion color is closer to every labeled-tumor clean pixel
+        lesion_d = np.linalg.norm(imgs - np.array([158.0, 92.0, 148.0]), axis=-1)
+        benign_d = np.linalg.norm(imgs - np.array([222.0, 192.0, 205.0]), axis=-1)
+        clean_tumor = (labels > 0) & ~amb
+        clean_benign = (labels == 0) & ~amb
+        assert (lesion_d[clean_tumor] < benign_d[clean_tumor]).mean() > 0.95
+        assert (benign_d[clean_benign] < lesion_d[clean_benign]).mean() > 0.95
+
+    def test_fold_npys_feed_constructors(self, hard_tree):
+        train, valid = construct_train_valid(hard_tree, test_fold=1)
+        test = construct_test(hard_tree, test_fold=1)
+        assert len(train) + len(valid) + len(test) == 30
+        ds = PatchDataset(hard_tree, test, patch_size=96)
+        item = ds[0]
+        assert item["input"].shape == (96, 96, 3)
+
+    def test_deterministic(self, hard_tree, tmp_path):
+        from selectivenet_for_semantic_segmentation_binary_tpu.data import (
+            write_hard_synthetic_patch_tree,
+        )
+
+        write_hard_synthetic_patch_tree(
+            str(tmp_path), n_slides=2, patches_per_slide=15, patch_size=96, seed=1
+        )
+        a, la = self._load(hard_tree)
+        b, lb = self._load(str(tmp_path))
+        np.testing.assert_array_equal(la, lb)
+        np.testing.assert_array_equal(a, b)
