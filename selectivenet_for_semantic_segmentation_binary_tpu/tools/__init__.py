@@ -6,7 +6,11 @@ from .data_split import (  # noqa: F401
     tumor_pixel_report,
     tumor_proportion_histogram,
 )
-from .calibrate import calibrate, threshold_for_coverage  # noqa: F401
+from .calibrate import (  # noqa: F401
+    calibrate,
+    risk_coverage_curve,
+    threshold_for_coverage,
+)
 from .inspect_ckpt import compare as compare_checkpoints  # noqa: F401
 from .inspect_ckpt import summarize as summarize_checkpoint  # noqa: F401
 from .sweep import Variant, default_grid, run_sweep  # noqa: F401

@@ -68,6 +68,128 @@ def make_histogram_step(model, n_cls: int):
     return jax.jit(step)
 
 
+def make_rc_histogram_step(model, cfg: EvalConfig):
+    """Jitted (variables, batch) -> int32[N_BINS, 2] joint histogram of
+    (selection-confidence bin, prediction correctness) over valid pixels —
+    the sufficient statistic for the whole risk-coverage curve in one pass."""
+    apply_sigmoid = getattr(cfg, "single_scale", "sigmoid") == "sigmoid"
+
+    def step(variables, batch):
+        x, label = device_preprocess(batch)
+        out = model.apply(
+            {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+            x, train=False,
+        )
+        output, selection, _aux = out
+        if selection.ndim != 3:
+            raise ValueError(
+                "risk-coverage analysis applies to binary (BCE-form, UNet_B) "
+                "selection heads only; CE-form selection is argmax-evaluated"
+            )
+        g = jax.nn.sigmoid(selection)
+        prob = jax.nn.sigmoid(output) if apply_sigmoid else output
+        pred = (prob > cfg.cut_off).astype(jnp.int32)
+        correct = (pred == label).astype(jnp.int32)
+        valid = (label >= 0) & (label < cfg.n_cls)
+        idx = jnp.clip((g * N_BINS).astype(jnp.int32), 0, N_BINS - 1)
+        idx = jnp.where(valid, idx, N_BINS)  # scratch row, dropped on host
+        hist = jnp.zeros((N_BINS + 1, 2), jnp.int32)
+        hist = hist.at[idx.reshape(-1), correct.reshape(-1)].add(1)
+        return hist[:N_BINS]
+
+    return jax.jit(step)
+
+
+def curve_from_histogram(hist2d: np.ndarray) -> Dict[str, np.ndarray]:
+    """(N_BINS, 2) [incorrect, correct] counts -> monotone coverage sweep.
+
+    Row i of the output is the operating point 's_cut_off = i / N_BINS'
+    (sigmoid space): coverage = P(g >= t), selective_risk = P(wrong | g >= t)
+    — the standard SelectiveNet risk-coverage trade-off curve."""
+    total = int(hist2d.sum())
+    if total == 0:
+        raise ValueError("empty calibration split")
+    tail = np.cumsum(hist2d[::-1], axis=0)[::-1].astype(np.float64)
+    selected = tail.sum(axis=1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        risk = np.where(selected > 0, tail[:, 0] / selected, np.nan)
+    return {
+        "threshold": np.arange(N_BINS) / N_BINS,
+        "coverage": selected / total,
+        "selective_risk": risk,
+        "selective_accuracy": 1.0 - risk,
+    }
+
+
+def _accumulate(loader, variables, step) -> np.ndarray:
+    # device-side accumulation, one D2H fetch after the loop (the eval_lib
+    # pattern) — a per-batch device_get would serialize decode vs compute
+    hists = []
+    for batch in loader:
+        device_batch = {k: batch[k] for k in ("input", "label", "flips") if k in batch}
+        hists.append(step(variables, device_batch))
+    return np.sum(np.asarray(jax.device_get(hists), np.int64), axis=0)
+
+
+def _load_single(cfg: EvalConfig):
+    from ..eval_lib import load_models
+
+    if not cfg.selective:
+        raise ValueError("calibration requires a selective model")
+    if cfg.model_arch[0] != "UNet_B":
+        raise ValueError(
+            "s_cut_off calibration applies to binary (BCE-form, UNet_B) "
+            "selection heads only; CE-form (UNet) selection is argmax-evaluated"
+        )
+    mesh = make_mesh(cfg.n_devices)
+    model, variables_list = load_models(cfg)
+    if len(variables_list) != 1:
+        raise ValueError("calibrate one checkpoint at a time "
+                         f"(found {len(variables_list)} in {cfg.model_dir})")
+    return mesh, model, replicate(variables_list[0], mesh)
+
+
+def risk_coverage_curve(cfg: EvalConfig, data_list=None,
+                        csv_path: Optional[str] = None,
+                        verbose: bool = True) -> Dict[str, np.ndarray]:
+    """Full risk-coverage trade-off of a selective checkpoint in one pass.
+
+    Returns threshold/coverage/selective_risk/selective_accuracy arrays
+    (sigmoid-space thresholds; logit-transform like calibrate() when
+    evaluating with a non-sigmoid --single_scale). Optionally writes a CSV."""
+    from ..eval_lib import make_eval_loader
+
+    mesh, model, variables = _load_single(cfg)
+    loader = make_eval_loader(cfg, mesh, data_list=data_list)
+    hist2d = _accumulate(loader, variables, make_rc_histogram_step(model, cfg))
+    curve = curve_from_histogram(hist2d)
+
+    if csv_path:
+        import csv as _csv
+        import os as _os
+
+        d = _os.path.dirname(csv_path)
+        if d:
+            _os.makedirs(d, exist_ok=True)
+        with open(csv_path, "w", newline="") as f:
+            w = _csv.writer(f)
+            w.writerow(["s_cut_off", "coverage", "selective_risk",
+                        "selective_accuracy"])
+            for i in range(N_BINS):
+                w.writerow([curve["threshold"][i], curve["coverage"][i],
+                            curve["selective_risk"][i],
+                            curve["selective_accuracy"][i]])
+        if verbose:
+            print(f"risk-coverage curve ({N_BINS} points) -> {csv_path}")
+    if verbose:
+        for cov in (1.0, 0.9, 0.8, 0.7, 0.5):
+            i = int(np.argmin(np.abs(curve["coverage"] - cov)))
+            print(f"    coverage {curve['coverage'][i]:.3f} @ s_cut_off "
+                  f"{curve['threshold'][i]:.4f}: selective accuracy "
+                  f"{curve['selective_accuracy'][i]:.4f}")
+    return curve
+
+
 def threshold_for_coverage(hist: np.ndarray, target_coverage: float) -> Dict[str, float]:
     """Largest bin edge t with P(g >= t) >= target_coverage — the
     (1 - coverage)-quantile, erring on the inclusive side so the achieved
@@ -91,32 +213,11 @@ def calibrate(cfg: EvalConfig, target_coverage: float = 0.8,
     """Calibrate s_cut_off for ``target_coverage`` on the test fold (or an
     explicit ``data_list`` — pass the VALID split to keep the test fold
     untouched, the methodologically clean choice)."""
-    from ..eval_lib import load_models, make_eval_loader
+    from ..eval_lib import make_eval_loader
 
-    if not cfg.selective:
-        raise ValueError("calibration requires a selective model")
-    if cfg.model_arch[0] != "UNet_B":
-        raise ValueError(
-            "s_cut_off calibration applies to binary (BCE-form, UNet_B) "
-            "selection heads only; CE-form (UNet) selection is argmax-evaluated"
-        )
-    mesh = make_mesh(cfg.n_devices)
-    model, variables_list = load_models(cfg)
-    if len(variables_list) != 1:
-        raise ValueError("calibrate one checkpoint at a time "
-                         f"(found {len(variables_list)} in {cfg.model_dir})")
-    variables = replicate(variables_list[0], mesh)
-
+    mesh, model, variables = _load_single(cfg)
     loader = make_eval_loader(cfg, mesh, data_list=data_list)
-    step = make_histogram_step(model, cfg.n_cls)
-
-    # device-side accumulation, one D2H fetch after the loop (the eval_lib
-    # pattern) — a per-batch device_get would serialize decode vs compute
-    hists = []
-    for batch in loader:
-        device_batch = {k: batch[k] for k in ("input", "label", "flips") if k in batch}
-        hists.append(step(variables, device_batch))
-    hist = np.sum(np.asarray(jax.device_get(hists), np.int64), axis=0)
+    hist = _accumulate(loader, variables, make_histogram_step(model, cfg.n_cls))
 
     res = threshold_for_coverage(hist, target_coverage)
     # eval compares the selection through _threshold_scale: sigmoid space only
@@ -156,6 +257,9 @@ def main(argv=None) -> None:
     p.add_argument("--target_coverage", type=float, default=0.8)
     p.add_argument("--split", choices=["test", "valid"], default="valid",
                    help="calibration split; 'valid' keeps the test fold clean")
+    p.add_argument("--curve_csv", default=None,
+                   help="also sweep the full risk-coverage curve and write it "
+                        "as CSV (s_cut_off, coverage, risk, accuracy rows)")
     a = p.parse_args(argv)
 
     cfg = EvalConfig(
@@ -170,6 +274,8 @@ def main(argv=None) -> None:
 
         _train, data_list = construct_train_valid(a.data_dir, test_fold=a.fold)
     calibrate(cfg, a.target_coverage, data_list=data_list)
+    if a.curve_csv:
+        risk_coverage_curve(cfg, data_list=data_list, csv_path=a.curve_csv)
 
 
 if __name__ == "__main__":

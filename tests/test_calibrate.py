@@ -142,3 +142,54 @@ class TestEndToEnd:
         cfg.model_arch = ["UNet"]
         with pytest.raises(ValueError, match="argmax"):
             calibrate(cfg, 0.8, verbose=False)
+
+
+class TestRiskCoverage:
+    def test_curve_math_from_histogram(self):
+        from selectivenet_for_semantic_segmentation_binary_tpu.tools.calibrate import (
+            curve_from_histogram,
+        )
+
+        # confident-and-right mass high, confused mass low: risk must fall
+        # as coverage shrinks
+        hist = np.zeros((N_BINS, 2), np.int64)
+        hist[100, 0] = 50   # low-confidence wrong
+        hist[100, 1] = 50   # low-confidence right
+        hist[4000, 1] = 900  # high-confidence right
+        c = curve_from_histogram(hist)
+        assert c["coverage"][0] == 1.0
+        assert c["selective_risk"][0] == pytest.approx(0.05)
+        # past the low-confidence mass only correct pixels remain
+        i = 200
+        assert c["coverage"][i] == pytest.approx(0.9)
+        assert c["selective_risk"][i] == 0.0
+        # coverage is non-increasing in the threshold
+        assert np.all(np.diff(c["coverage"]) <= 0)
+
+    def test_end_to_end_curve_and_csv(self, tmp_path):
+        from selectivenet_for_semantic_segmentation_binary_tpu.tools.calibrate import (
+            risk_coverage_curve,
+        )
+
+        d = str(tmp_path)
+        data_dir = os.path.join(d, "data")
+        write_synthetic_patch_tree(data_dir, n_slides=2, patches_per_slide=10,
+                                   patch_size=32, seed=7)
+        model = UNetB(selective=True)
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                               train=False)
+        ckpt_dir = os.path.join(d, "ckpt")
+        save_checkpoint(ckpt_dir, {"net": variables, "epoch": 1}, 1)
+        cfg = EvalConfig(
+            data_dir=data_dir, test_fold=1, model_dir=ckpt_dir,
+            model_arch=["UNet_B"], selective=True, select_eval=True,
+            patch_size=32, batch_size=4,
+        )
+        csv_path = os.path.join(d, "curve.csv")
+        c = risk_coverage_curve(cfg, csv_path=csv_path, verbose=False)
+        assert c["coverage"][0] == 1.0
+        assert np.all(np.diff(c["coverage"]) <= 0)
+        with open(csv_path) as f:
+            lines = f.read().strip().splitlines()
+        assert lines[0] == "s_cut_off,coverage,selective_risk,selective_accuracy"
+        assert len(lines) == 1 + N_BINS
