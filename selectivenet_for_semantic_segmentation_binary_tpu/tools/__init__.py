@@ -1,19 +1,46 @@
-"""Workbench tools: data splitting, WSI stitched inference, MC uncertainty."""
+"""Workbench tools: data splitting, WSI stitched inference, MC uncertainty,
+checkpoint inspection, selection-threshold calibration.
 
-from .data_split import (  # noqa: F401
-    build_fold_lists,
-    mine_non_tissue,
-    tumor_pixel_report,
-    tumor_proportion_histogram,
-)
-from .calibrate import (  # noqa: F401
-    calibrate,
-    risk_coverage_curve,
-    threshold_for_coverage,
-)
-from .inspect_ckpt import compare as compare_checkpoints  # noqa: F401
-from .inspect_ckpt import summarize as summarize_checkpoint  # noqa: F401
-from .sweep import Variant, default_grid, run_sweep  # noqa: F401
-from .tiled_inference import tiled_inference, wsi_mask  # noqa: F401
-from .uncertainty import mc_uncertainty  # noqa: F401
-from .wsi import make_heatmap, save_performance_as_csv, stitch_patches, wsi_inference  # noqa: F401
+Lazy re-exports (PEP 562): ``python -m ...tools.<name>`` must not eagerly
+import sibling tools (that triggers the runpy double-import warning and pays
+every tool's import cost), and jax-heavy tools stay unloaded until used.
+"""
+
+_EXPORTS = {
+    "build_fold_lists": ".data_split",
+    "mine_non_tissue": ".data_split",
+    "tumor_pixel_report": ".data_split",
+    "tumor_proportion_histogram": ".data_split",
+    "calibrate": ".calibrate",
+    "risk_coverage_curve": ".calibrate",
+    "threshold_for_coverage": ".calibrate",
+    "summarize_checkpoint": (".inspect_ckpt", "summarize"),
+    "compare_checkpoints": (".inspect_ckpt", "compare"),
+    "Variant": ".sweep",
+    "default_grid": ".sweep",
+    "run_sweep": ".sweep",
+    "tiled_inference": ".tiled_inference",
+    "wsi_mask": ".tiled_inference",
+    "mc_uncertainty": ".uncertainty",
+    "make_heatmap": ".wsi",
+    "save_performance_as_csv": ".wsi",
+    "stitch_patches": ".wsi",
+    "wsi_inference": ".wsi",
+}
+
+__all__ = sorted(_EXPORTS)
+
+
+def __getattr__(name):
+    try:
+        spec = _EXPORTS[name]
+    except KeyError:
+        raise AttributeError(f"module {__name__!r} has no attribute {name!r}") from None
+    from importlib import import_module
+
+    module, attr = spec if isinstance(spec, tuple) else (spec, name)
+    return getattr(import_module(module, __name__), attr)
+
+
+def __dir__():
+    return __all__
