@@ -72,6 +72,18 @@ def _metric_scalar(results: Dict, name: str) -> float:
     return float(np.nanmean(arr)) if arr.ndim else float(arr)
 
 
+def _pick_best(scored: Sequence[Tuple[float, str]]) -> Tuple[float, str]:
+    """Best (score, ckpt) with nan-safe ordering.
+
+    nan scores (e.g. an undertrained selection head rejecting every pixel ->
+    empty in-coverage confusion matrix, the reference's epoch-1 `valid_acc
+    nan` situation) must never win, and an all-nan fold falls back to the
+    most-trained (highest-epoch) checkpoint instead of whatever max() happens
+    to return under nan comparisons."""
+    best = max(scored, key=lambda t: -np.inf if np.isnan(t[0]) else t[0])
+    return scored[-1] if np.isnan(best[0]) else best
+
+
 def _eval_single_checkpoint(cfg: EvalConfig, ckpt_path: str, loader) -> Dict:
     """Score one specific checkpoint (evaluate() discovers every checkpoint in
     model_dir, so the file is linked alone into a temp dir)."""
@@ -147,7 +159,7 @@ def run_sweep(
             for ckpt in ckpts:
                 res = _eval_single_checkpoint(e_cfg, ckpt, valid_loader)
                 scored.append((_metric_scalar(res, select_metric), ckpt))
-            best_score, best_ckpt = max(scored, key=lambda t: t[0])
+            best_score, best_ckpt = _pick_best(scored)
 
             # report the winner on the TEST split
             test_loader = make_eval_loader(e_cfg, mesh)

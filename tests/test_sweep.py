@@ -92,3 +92,24 @@ def test_sweep_resumes_without_retraining(tmp_path):
     rows = run_sweep(data_dir, model_root, folds=[1], variants=variants, **kw)
     assert sorted(os.listdir(ckpt_dir)) == before
     assert rows[0]["best_epoch"] == 1
+
+
+class TestPickBest:
+    def test_nan_never_wins(self):
+        from selectivenet_for_semantic_segmentation_binary_tpu.tools.sweep import (
+            _pick_best,
+        )
+
+        scored = [(float("nan"), "e1"), (0.5, "e2"), (0.9, "e3"), (float("nan"), "e4")]
+        assert _pick_best(scored) == (0.9, "e3")
+
+    def test_all_nan_falls_back_to_latest(self):
+        import math
+
+        from selectivenet_for_semantic_segmentation_binary_tpu.tools.sweep import (
+            _pick_best,
+        )
+
+        scored = [(float("nan"), "e1"), (float("nan"), "e2"), (float("nan"), "e3")]
+        score, ckpt = _pick_best(scored)
+        assert ckpt == "e3" and math.isnan(score)
