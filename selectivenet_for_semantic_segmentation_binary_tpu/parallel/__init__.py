@@ -7,3 +7,8 @@ from .mesh import (  # noqa: F401
     replicated_sharding,
     shard_batch,
 )
+from .spatial import (  # noqa: F401
+    make_mesh_2d,
+    spatial_forward,
+    spatial_forward_2d,
+)

@@ -154,14 +154,79 @@ def spatial_forward(
     return out if selective else out[0]
 
 
+SPATIAL_AXIS = "spatial"
+
+
+def make_mesh_2d(batch_ways: int, spatial_ways: int) -> Mesh:
+    """(DATA_AXIS, SPATIAL_AXIS) mesh over the first batch_ways*spatial_ways
+    devices — DP x SP for batched whole-tile inference."""
+    import numpy as np
+
+    n = batch_ways * spatial_ways
+    devices = jax.devices()
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    return Mesh(
+        np.asarray(devices[:n]).reshape(batch_ways, spatial_ways),
+        (DATA_AXIS, SPATIAL_AXIS),
+    )
+
+
+def spatial_forward_2d(
+    variables: Dict,
+    x: jax.Array,
+    mesh: Mesh,
+    selective: bool = False,
+    compute_dtype=jnp.float32,
+) -> Union[jax.Array, Tuple[jax.Array, ...]]:
+    """2-D sharded eval-mode forward: batch over DATA_AXIS, image rows over
+    SPATIAL_AXIS (halo exchange only along SPATIAL_AXIS neighbors — the batch
+    dimension is embarrassingly parallel, so its mesh axis carries zero
+    communication). The scale-out regime for batched WSI whole-tile serving:
+    dp x sp chips process dp tiles concurrently, each tile split sp ways.
+
+    Args:
+        variables: {'params'[, 'batch_stats']} (models/unet.py naming).
+        x: (N, H, W, C); N divisible by the DATA_AXIS size, H divisible by
+           8 * SPATIAL_AXIS size.
+        mesh: a (DATA_AXIS, SPATIAL_AXIS) mesh — see ``make_mesh_2d``.
+    """
+    if set(mesh.axis_names) != {DATA_AXIS, SPATIAL_AXIS}:
+        raise ValueError(f"mesh axes must be ({DATA_AXIS}, {SPATIAL_AXIS}), "
+                         f"got {mesh.axis_names}")
+    dp = mesh.shape[DATA_AXIS]
+    sp = mesh.shape[SPATIAL_AXIS]
+    N, H = x.shape[0], x.shape[1]
+    if N % dp != 0:
+        raise ValueError(f"N={N} must be divisible by batch mesh axis {dp}")
+    if H % (8 * sp) != 0:
+        raise ValueError(f"H={H} must be divisible by 8*spatial mesh axis {8 * sp}")
+
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    dtype = jnp.dtype(compute_dtype)
+
+    sharded = _build_sharded(mesh, selective, dtype,
+                             batch_axis=DATA_AXIS, h_axis=SPATIAL_AXIS)
+    x = jax.device_put(
+        x, NamedSharding(mesh, P(DATA_AXIS, SPATIAL_AXIS, None, None))
+    )
+    out = sharded(params, stats, x)
+    return out if selective else out[0]
+
+
 @functools.lru_cache(maxsize=16)
-def _build_sharded(mesh: Mesh, selective: bool, dtype):
-    """Build + jit the shard_map forward once per (mesh, selective, dtype) —
-    rebuilding the closure per call would recompile the full UNet every
-    invocation."""
+def _build_sharded(mesh: Mesh, selective: bool, dtype,
+                   batch_axis: Optional[str] = None,
+                   h_axis: str = DATA_AXIS):
+    """Build + jit the shard_map forward once per (mesh, axes, selective,
+    dtype) — rebuilding the closure per call would recompile the full UNet
+    every invocation. ``batch_axis=None`` is the 1-D H-only sharding; naming
+    both axes gives the 2-D (batch x rows) regime: halos ride only the
+    ``h_axis`` neighbors, the batch axis needs no communication at all."""
 
     def fwd(params, stats, x_local):
-        feat = _trunk(x_local, params["trunk"], stats.get("trunk", {}), DATA_AXIS, dtype)
+        feat = _trunk(x_local, params["trunk"], stats.get("trunk", {}), h_axis, dtype)
         out = _conv1x1(feat, params["conv1x1"]["conv"]["kernel"],
                        params["conv1x1"]["conv"]["bias"], dtype)[..., 0]
         out = out.astype(jnp.float32)
@@ -173,8 +238,8 @@ def _build_sharded(mesh: Mesh, selective: bool, dtype):
                        params["conv_aux"]["conv"]["bias"], dtype)[..., 0]
         return out, sel.astype(jnp.float32), aux.astype(jnp.float32)
 
-    spec_x = P(None, DATA_AXIS, None, None)
-    spec_out = P(None, DATA_AXIS, None)
+    spec_x = P(batch_axis, h_axis, None, None)
+    spec_out = P(batch_axis, h_axis, None)
     return jax.jit(shard_map(
         fwd, mesh=mesh,
         in_specs=(P(), P(), spec_x),

@@ -79,3 +79,56 @@ class TestSpatialForward:
         x = jnp.asarray(rng.standard_normal((1, 512, 64, 3)).astype(np.float32))
         out, _, _ = spatial_forward(variables, x, mesh, selective=True)
         assert len(out.sharding.device_set) == 8
+
+
+class TestSpatialForward2D:
+    """2-D (batch x rows) mesh: DP x SP combined inference regime."""
+
+    @pytest.mark.parametrize("dp,sp", [(2, 4), (4, 2), (2, 2)])
+    def test_exact_vs_monolithic(self, selective_model, rng, dp, sp):
+        from selectivenet_for_semantic_segmentation_binary_tpu.parallel.spatial import (
+            make_mesh_2d,
+            spatial_forward_2d,
+        )
+
+        model, variables = selective_model
+        mesh = make_mesh_2d(dp, sp)
+        x = jnp.asarray(
+            rng.standard_normal((2 * dp, 8 * sp * 2, 64, 3)).astype(np.float32)
+        )
+        ref = model.apply(variables, x, train=False)
+        got = spatial_forward_2d(variables, x, mesh, selective=True)
+        for r, g in zip(ref, got):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=1e-4, atol=1e-4)
+
+    def test_validates_mesh_and_shapes(self, selective_model):
+        from selectivenet_for_semantic_segmentation_binary_tpu.parallel.mesh import (
+            make_mesh,
+        )
+        from selectivenet_for_semantic_segmentation_binary_tpu.parallel.spatial import (
+            make_mesh_2d,
+            spatial_forward_2d,
+        )
+
+        _model, variables = selective_model
+        mesh2d = make_mesh_2d(2, 4)
+        with pytest.raises(ValueError, match="divisible by batch"):
+            spatial_forward_2d(variables, jnp.zeros((3, 64, 64, 3)), mesh2d)
+        with pytest.raises(ValueError, match="divisible by 8"):
+            spatial_forward_2d(variables, jnp.zeros((2, 48, 64, 3)), mesh2d)
+        with pytest.raises(ValueError, match="mesh axes"):
+            spatial_forward_2d(variables, jnp.zeros((2, 64, 64, 3)), make_mesh(4))
+
+    def test_output_sharded_on_both_axes(self, selective_model, rng):
+        from selectivenet_for_semantic_segmentation_binary_tpu.parallel.spatial import (
+            make_mesh_2d,
+            spatial_forward_2d,
+        )
+
+        _model, variables = selective_model
+        mesh = make_mesh_2d(2, 4)
+        x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
+        out, _sel, _aux = spatial_forward_2d(variables, x, mesh, selective=True)
+        assert out.shape == (2, 64, 64)
+        # the result stays distributed: no single device holds the full array
+        assert len(out.sharding.device_set) == 8
