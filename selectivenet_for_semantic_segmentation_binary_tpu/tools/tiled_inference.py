@@ -53,6 +53,7 @@ def tiled_inference(
     tile: Tuple[int, int] = (512, 512),
     halo: int = DEFAULT_HALO,
     batch_size: int = 8,
+    mesh=None,
 ):
     """Exact full-image forward of a fully-convolutional NHWC model.
 
@@ -64,6 +65,10 @@ def tiled_inference(
         tile: output chunk size per window (each dim divisible by 8).
         halo: overlap margin, >= RECEPTIVE_RADIUS + 8 alignment slack.
         batch_size: windows evaluated per device batch.
+        mesh: optional 1-D device mesh — window batches are sharded over it
+            (data-parallel windows: zero cross-chip communication, the
+            complement of parallel.spatial's row sharding). The tail batch is
+            padded to the mesh size; padded windows are computed and dropped.
     Returns:
         (H, W) array, or a tuple of them if apply_fn returns a tuple.
     """
@@ -91,6 +96,13 @@ def tiled_inference(
 
     image = jnp.asarray(image)
     batched_fn = jax.jit(apply_fn)
+    if mesh is not None:
+        from ..parallel.mesh import batch_sharding
+
+        n_dev = int(mesh.devices.size)
+        sharding = batch_sharding(mesh)
+        if batch_size % n_dev:  # keep full batches evenly sharded
+            batch_size = ((batch_size + n_dev - 1) // n_dev) * n_dev
 
     outputs = None
     n_outputs = None
@@ -101,6 +113,11 @@ def tiled_inference(
             jax.lax.dynamic_slice(image, (wr, wc, 0), (win_h, win_w, image.shape[-1]))
             for (_, _, _, _, wr, wc) in chunk_jobs
         ])
+        if mesh is not None:
+            pad = (-len(chunk_jobs)) % n_dev
+            if pad:  # repeat the last window; stitch loop below ignores pads
+                batch = jnp.concatenate([batch, jnp.repeat(batch[-1:], pad, 0)])
+            batch = jax.device_put(batch, sharding)
         out = batched_fn(batch)
         is_tuple = isinstance(out, tuple)
         outs = out if is_tuple else (out,)
@@ -128,11 +145,13 @@ def wsi_mask(
     tile: Tuple[int, int] = (512, 512),
     halo: int = DEFAULT_HALO,
     batch_size: int = 8,
+    mesh=None,
 ):
     """Seamless full-slide probability map + binary mask (+ selection mask).
 
     ``image``: (H, W, C) raw [0, 1] float; normalization (x-0.5)/0.5 applied
-    here (reference transform semantics).
+    here (reference transform semantics). ``mesh`` shards window batches
+    across chips (see tiled_inference).
     """
     x = (np.asarray(image, np.float32) - 0.5) / 0.5
 
@@ -143,7 +162,8 @@ def wsi_mask(
         )
         return out if isinstance(out, tuple) else (out,)
 
-    outs = tiled_inference(apply_fn, jnp.asarray(x), tile, halo, batch_size)
+    outs = tiled_inference(apply_fn, jnp.asarray(x), tile, halo, batch_size,
+                           mesh=mesh)
     prob = 1.0 / (1.0 + np.exp(-outs[0]))
     result = {"prob": prob, "pred": (prob > cut_off).astype(np.uint8)}
     if selective and len(outs) >= 2:

@@ -78,3 +78,51 @@ class TestTiledInference:
 
         tiled = tiled_inference(fn, img, tile=(64, 64))
         np.testing.assert_allclose(np.asarray(full[0]), tiled, rtol=1e-5, atol=1e-5)
+
+
+class TestMeshTiled:
+    """mesh= shards window batches across chips; results stay pixel-exact."""
+
+    def test_exact_equality_on_mesh(self, model_and_vars, rng):
+        from selectivenet_for_semantic_segmentation_binary_tpu.parallel.mesh import (
+            make_mesh,
+        )
+
+        model, variables = model_and_vars
+        mesh = make_mesh(8)
+        img = jnp.asarray(rng.standard_normal((192, 256, 3)).astype(np.float32))
+        # 12 windows of 64x64: a full batch of 8 plus a ragged tail of 4
+        single = tiled_inference(_apply(model, variables), img, tile=(64, 64),
+                                 batch_size=8)
+        meshed = tiled_inference(_apply(model, variables), img, tile=(64, 64),
+                                 batch_size=8, mesh=mesh)
+        for s, m in zip(single, meshed):
+            np.testing.assert_allclose(m, s, rtol=1e-5, atol=1e-5)
+
+    def test_batch_size_rounded_up_to_mesh(self, model_and_vars, rng):
+        from selectivenet_for_semantic_segmentation_binary_tpu.parallel.mesh import (
+            make_mesh,
+        )
+
+        model, variables = model_and_vars
+        mesh = make_mesh(8)
+        img = jnp.asarray(rng.standard_normal((128, 128, 3)).astype(np.float32))
+        # batch_size 3 is not divisible by the mesh; must still be exact
+        full = model.apply(variables, img[None], train=False)
+        got = tiled_inference(_apply(model, variables), img, tile=(64, 64),
+                              batch_size=3, mesh=mesh)
+        for f, g in zip(full, got):
+            np.testing.assert_allclose(g, np.asarray(f[0]), rtol=1e-5, atol=1e-5)
+
+    def test_wsi_mask_accepts_mesh(self, model_and_vars, rng):
+        from selectivenet_for_semantic_segmentation_binary_tpu.parallel.mesh import (
+            make_mesh,
+        )
+
+        model, variables = model_and_vars
+        img = rng.random((128, 128, 3)).astype(np.float32)
+        res = wsi_mask(model, variables, img, selective=True,
+                       tile=(64, 64), mesh=make_mesh(4))
+        assert res["pred"].shape == (128, 128)
+        assert set(np.unique(res["pred"])) <= {0, 1}
+        assert "selection" in res
