@@ -21,6 +21,7 @@ Schedulers step once per epoch exactly like the reference (train.py:246-250):
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional
 
@@ -28,17 +29,29 @@ import optax
 
 
 def build_optimizer(cfg) -> optax.GradientTransformation:
-    """LR-less update chain; the step multiplies by -lr (see train_lib)."""
+    """LR-less update chain; the step multiplies by -lr (see train_lib).
+
+    Cached per (w_decay, optim, momentum): optax transformations are pure
+    (state lives in opt_state), and returning the SAME instance for the same
+    config lets the train-step cache in train_lib key on it — the sweep
+    harness builds one optimizer per grid cell and would otherwise defeat
+    that cache."""
+    return _cached_optimizer(float(cfg.w_decay), cfg.optim, float(cfg.momentum))
+
+
+@functools.lru_cache(maxsize=16)
+def _cached_optimizer(w_decay: float, optim: str,
+                      momentum: float) -> optax.GradientTransformation:
     parts = []
-    if cfg.w_decay:
-        parts.append(optax.add_decayed_weights(cfg.w_decay))
-    if cfg.optim == "Adam":
+    if w_decay:
+        parts.append(optax.add_decayed_weights(w_decay))
+    if optim == "Adam":
         parts.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
-    elif cfg.optim == "SGD":
-        if cfg.momentum:
-            parts.append(optax.trace(decay=cfg.momentum, nesterov=False))
+    elif optim == "SGD":
+        if momentum:
+            parts.append(optax.trace(decay=momentum, nesterov=False))
     else:
-        raise ValueError(f"unknown optimizer {cfg.optim!r} (expected 'Adam' or 'SGD')")
+        raise ValueError(f"unknown optimizer {optim!r} (expected 'Adam' or 'SGD')")
     return optax.chain(*parts) if parts else optax.identity()
 
 

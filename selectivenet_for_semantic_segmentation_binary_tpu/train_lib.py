@@ -25,8 +25,8 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass
-from functools import partial
-from typing import Any, Callable, Dict, Optional, Tuple
+from functools import lru_cache, partial
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -185,8 +185,40 @@ def resolve_fused(cfg, mesh) -> bool:
     return False
 
 
+class _StepKey(NamedTuple):
+    """The TrainConfig fields the jitted train/valid steps close over —
+    hashable so structurally identical runs (e.g. the sweep harness's one
+    train() per grid cell) reuse one compiled step instead of paying a fresh
+    trace+compile, which over the axon tunnel is 30 s-20 min (RESULTS.md)."""
+
+    loss: str
+    selective: bool
+    s_lamb: float
+    target_coverage: float
+    n_cls: int
+    drop_last: bool
+    dropout_rate: float
+    log_img: bool
+    output_scale: str
+
+
+def _step_key(cfg: TrainConfig) -> _StepKey:
+    return _StepKey(
+        loss=cfg.loss, selective=bool(cfg.selective), s_lamb=float(cfg.s_lamb),
+        target_coverage=float(cfg.target_coverage), n_cls=int(cfg.n_cls),
+        drop_last=bool(cfg.drop_last), dropout_rate=float(cfg.dropout_rate),
+        log_img=bool(cfg.log_img), output_scale=cfg.output_scale,
+    )
+
+
 def make_train_step(model, cfg: TrainConfig, tx) -> Callable:
-    """Build the jitted (state, batch, lr, rng) -> (state, metrics) step."""
+    """Build the jitted (state, batch, lr, rng) -> (state, metrics) step.
+    Cached on (model, step-relevant cfg fields, tx) — see _StepKey."""
+    return _build_train_step(model, _step_key(cfg), tx)
+
+
+@lru_cache(maxsize=16)
+def _build_train_step(model, cfg: _StepKey, tx) -> Callable:
     use_bce = "BCE" in cfg.loss
 
     def step(state: TrainState, batch, lr, rng):
@@ -232,7 +264,12 @@ def make_train_step(model, cfg: TrainConfig, tx) -> Callable:
 
 def make_valid_step(model, cfg: TrainConfig) -> Callable:
     """Validation step: eval-mode forward (running BN stats) + loss + metrics
-    (reference train.py:275-331)."""
+    (reference train.py:275-331). Cached like make_train_step."""
+    return _build_valid_step(model, _step_key(cfg))
+
+
+@lru_cache(maxsize=16)
+def _build_valid_step(model, cfg: _StepKey) -> Callable:
     use_bce = "BCE" in cfg.loss
 
     def step(state: TrainState, batch):
