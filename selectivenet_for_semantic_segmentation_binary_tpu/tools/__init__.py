@@ -11,7 +11,6 @@ _EXPORTS = {
     "mine_non_tissue": ".data_split",
     "tumor_pixel_report": ".data_split",
     "tumor_proportion_histogram": ".data_split",
-    "calibrate": ".calibrate",
     "risk_coverage_curve": ".calibrate",
     "threshold_for_coverage": ".calibrate",
     "summarize_checkpoint": (".inspect_ckpt", "summarize"),
@@ -19,7 +18,6 @@ _EXPORTS = {
     "Variant": ".sweep",
     "default_grid": ".sweep",
     "run_sweep": ".sweep",
-    "tiled_inference": ".tiled_inference",
     "wsi_mask": ".tiled_inference",
     "mc_uncertainty": ".uncertainty",
     "make_heatmap": ".wsi",
@@ -28,7 +26,16 @@ _EXPORTS = {
     "wsi_inference": ".wsi",
 }
 
-__all__ = sorted(_EXPORTS)
+# These two exports share their submodule's name, so they CANNOT be lazy: the
+# import machinery binds `tools.calibrate`/`tools.tiled_inference` to the
+# SUBMODULE whenever it loads, which wins over __getattr__ for every later
+# access — the function must eagerly overwrite that binding.
+from .calibrate import calibrate  # noqa: E402,F401
+from .tiled_inference import tiled_inference  # noqa: E402,F401
+
+_EAGER = ("calibrate", "tiled_inference")
+
+__all__ = sorted((*_EXPORTS, *_EAGER))
 
 
 def __getattr__(name):
@@ -39,7 +46,9 @@ def __getattr__(name):
     from importlib import import_module
 
     module, attr = spec if isinstance(spec, tuple) else (spec, name)
-    return getattr(import_module(module, __name__), attr)
+    value = getattr(import_module(module, __name__), attr)
+    globals()[name] = value  # cache; also guards against submodule shadowing
+    return value
 
 
 def __dir__():

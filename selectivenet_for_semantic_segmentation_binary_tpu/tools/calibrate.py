@@ -149,20 +149,37 @@ def _load_single(cfg: EvalConfig):
     return mesh, model, replicate(variables_list[0], mesh)
 
 
+def _to_eval_space(t, single_scale: str):
+    """Sigmoid-space threshold(s) -> whatever space eval will threshold in:
+    identity for --single_scale sigmoid, else the (monotonic) logit — eval's
+    non-sigmoid modes compare RAW selection logits (eval.py:241-243)."""
+    if single_scale == "sigmoid":
+        return t
+    lo, hi = 1.0 / (2 * N_BINS), 1.0 - 1.0 / (2 * N_BINS)
+    t = np.clip(np.asarray(t, np.float64), lo, hi)
+    out = np.log(t / (1.0 - t))
+    return float(out) if out.ndim == 0 else out
+
+
 def risk_coverage_curve(cfg: EvalConfig, data_list=None,
                         csv_path: Optional[str] = None,
                         verbose: bool = True) -> Dict[str, np.ndarray]:
     """Full risk-coverage trade-off of a selective checkpoint in one pass.
 
-    Returns threshold/coverage/selective_risk/selective_accuracy arrays
-    (sigmoid-space thresholds; logit-transform like calibrate() when
-    evaluating with a non-sigmoid --single_scale). Optionally writes a CSV."""
+    The returned/written ``threshold`` column is in EVAL space (sigmoid for
+    --single_scale sigmoid, raw-logit otherwise), so any row's s_cut_off can
+    be passed to eval.py directly. Also returns ``histogram2d`` — its
+    ``sum(axis=1)`` marginal is exactly the calibration histogram, so callers
+    needing both never run the split twice."""
     from ..eval_lib import make_eval_loader
 
     mesh, model, variables = _load_single(cfg)
     loader = make_eval_loader(cfg, mesh, data_list=data_list)
     hist2d = _accumulate(loader, variables, make_rc_histogram_step(model, cfg))
     curve = curve_from_histogram(hist2d)
+    single_scale = getattr(cfg, "single_scale", "sigmoid")
+    curve["threshold"] = _to_eval_space(curve["threshold"], single_scale)
+    curve["histogram2d"] = hist2d
 
     if csv_path:
         import csv as _csv
@@ -180,7 +197,8 @@ def risk_coverage_curve(cfg: EvalConfig, data_list=None,
                             curve["selective_risk"][i],
                             curve["selective_accuracy"][i]])
         if verbose:
-            print(f"risk-coverage curve ({N_BINS} points) -> {csv_path}")
+            print(f"risk-coverage curve ({N_BINS} points, thresholds in "
+                  f"--single_scale {single_scale} eval space) -> {csv_path}")
     if verbose:
         for cov in (1.0, 0.9, 0.8, 0.7, 0.5):
             i = int(np.argmin(np.abs(curve["coverage"] - cov)))
@@ -218,22 +236,20 @@ def calibrate(cfg: EvalConfig, target_coverage: float = 0.8,
     mesh, model, variables = _load_single(cfg)
     loader = make_eval_loader(cfg, mesh, data_list=data_list)
     hist = _accumulate(loader, variables, make_histogram_step(model, cfg.n_cls))
+    return _finish_calibration(
+        hist, target_coverage, getattr(cfg, "single_scale", "sigmoid"), verbose
+    )
 
+
+def _finish_calibration(hist: np.ndarray, target_coverage: float,
+                        single_scale: str, verbose: bool) -> Dict[str, float]:
     res = threshold_for_coverage(hist, target_coverage)
-    # eval compares the selection through _threshold_scale: sigmoid space only
-    # when single_scale == 'sigmoid'; for the no-op modes ('None'/'clip'/
-    # 'minmax', eval.py:241-243) eval thresholds RAW logits, so map the
-    # sigmoid-space quantile back through the (monotonic) logit.
-    if getattr(cfg, "single_scale", "sigmoid") != "sigmoid":
-        t = min(max(res["s_cut_off"], 1.0 / (2 * N_BINS)), 1.0 - 1.0 / (2 * N_BINS))
-        res["s_cut_off"] = float(np.log(t / (1.0 - t)))
-        res["space"] = "logit"
-    else:
-        res["space"] = "sigmoid"
+    res["s_cut_off"] = _to_eval_space(res["s_cut_off"], single_scale)
+    res["space"] = "sigmoid" if single_scale == "sigmoid" else "logit"
     if verbose:
         print(f"calibrated on {res['n_pixels']:,} pixels: "
               f"--s_cut_off {res['s_cut_off']:.6f} ({res['space']} space, "
-              f"--single_scale {getattr(cfg, 'single_scale', 'sigmoid')}) "
+              f"--single_scale {single_scale}) "
               f"-> empirical coverage {res['achieved_coverage']:.4f} "
               f"(requested {target_coverage})")
     return res
@@ -273,9 +289,14 @@ def main(argv=None) -> None:
         from ..data import construct_train_valid
 
         _train, data_list = construct_train_valid(a.data_dir, test_fold=a.fold)
-    calibrate(cfg, a.target_coverage, data_list=data_list)
     if a.curve_csv:
-        risk_coverage_curve(cfg, data_list=data_list, csv_path=a.curve_csv)
+        # one pass serves both: the rc histogram's correctness marginal IS
+        # the calibration histogram
+        curve = risk_coverage_curve(cfg, data_list=data_list, csv_path=a.curve_csv)
+        _finish_calibration(curve["histogram2d"].sum(axis=1),
+                            a.target_coverage, a.single_scale, True)
+    else:
+        calibrate(cfg, a.target_coverage, data_list=data_list)
 
 
 if __name__ == "__main__":

@@ -193,3 +193,34 @@ class TestRiskCoverage:
             lines = f.read().strip().splitlines()
         assert lines[0] == "s_cut_off,coverage,selective_risk,selective_accuracy"
         assert len(lines) == 1 + N_BINS
+
+
+class TestEvalSpaceCurve:
+    def test_curve_thresholds_transform_with_single_scale(self, tmp_path):
+        """With --single_scale None, every CSV/returned threshold must be a
+        raw-logit value eval can consume directly."""
+        from selectivenet_for_semantic_segmentation_binary_tpu.tools.calibrate import (
+            risk_coverage_curve,
+        )
+
+        d = str(tmp_path)
+        data_dir = os.path.join(d, "data")
+        write_synthetic_patch_tree(data_dir, n_slides=2, patches_per_slide=10,
+                                   patch_size=32, seed=7)
+        model = UNetB(selective=True)
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                               train=False)
+        ckpt_dir = os.path.join(d, "ckpt")
+        save_checkpoint(ckpt_dir, {"net": variables, "epoch": 1}, 1)
+        cfg = EvalConfig(
+            data_dir=data_dir, test_fold=1, model_dir=ckpt_dir,
+            model_arch=["UNet_B"], selective=True, select_eval=True,
+            patch_size=32, batch_size=4, single_scale="None",
+        )
+        c = risk_coverage_curve(cfg, verbose=False)
+        # logit space spans negatives; sigmoid space never does
+        assert c["threshold"][0] < 0
+        assert np.all(np.diff(c["threshold"]) > 0)  # still monotone
+        # the 2-D histogram marginal is the calibration histogram
+        assert c["histogram2d"].shape[1] == 2
+        assert int(c["histogram2d"].sum()) == 4 * 32 * 32

@@ -26,7 +26,9 @@ class TestShimsDelegate:
         assert eval_shim.main is cli.eval_main
 
     def test_all_project_scripts_resolve(self):
-        import tomllib
+        import pytest
+
+        tomllib = pytest.importorskip("tomllib")  # stdlib from 3.11 only
 
         from selectivenet_for_semantic_segmentation_binary_tpu import cli
 
