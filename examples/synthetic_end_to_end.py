@@ -19,8 +19,12 @@ import argparse
 import glob
 import os
 import shutil
+import sys
 
 import numpy as np
+
+# runnable from any cwd, like scripts/*
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
