@@ -287,3 +287,20 @@ class TestTorchExport:
         )
         for r, g in zip(ref, got):
             np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=1e-5, atol=1e-6)
+
+
+class TestAsyncPrune:
+    def test_async_writer_applies_retention(self, tmp_path):
+        from selectivenet_for_semantic_segmentation_binary_tpu.utils.checkpoint import (
+            prune_checkpoints,
+        )
+
+        w = AsyncCheckpointWriter()
+        for e in [1, 2, 3, 4]:
+            w.save(str(tmp_path), {"epoch": e}, e, keep=2)
+        w.wait()
+        left = sorted(f for f in os.listdir(tmp_path) if f.endswith(".ckpt"))
+        assert left == ["model_epoch3.ckpt", "model_epoch4.ckpt"]
+        # sanity: a later sync prune with keep=1 leaves only the newest
+        prune_checkpoints(str(tmp_path), keep=1)
+        assert sorted(os.listdir(tmp_path)) == ["model_epoch4.ckpt"]
