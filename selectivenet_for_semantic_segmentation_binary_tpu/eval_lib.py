@@ -238,13 +238,16 @@ def make_eval_loader(cfg: EvalConfig, mesh, data_list=None) -> PatchLoader:
         and cfg.input_type == "RGB"
         and not getattr(cfg, "blankfield", False)
     )
+    # multi-host: per-process batch slices (train_lib.make_loaders does the same)
+    proc = dict(process_index=jax.process_index(),
+                process_count=jax.process_count())
     if raw_mode:
         ds = PatchDataset(cfg.data_dir, data_list, cfg.patch_mag,
                           cfg.patch_size, cfg.input_type)
         return PatchLoader(ds, cfg.batch_size, shuffle=False,
                            num_workers=cfg.num_workers, drop_last=False,
                            seed=cfg.seed, sharding=batch_sharding(mesh),
-                           device_preproc=True, random_flip=False)
+                           device_preproc=True, random_flip=False, **proc)
     pre = []
     if getattr(cfg, "blankfield", False):
         from .data.transforms import BlankfieldCorrection
@@ -255,7 +258,7 @@ def make_eval_loader(cfg: EvalConfig, mesh, data_list=None) -> PatchLoader:
                       cfg.input_type, transform=transform)
     return PatchLoader(ds, cfg.batch_size, shuffle=False,
                        num_workers=cfg.num_workers, drop_last=False,
-                       seed=cfg.seed, sharding=batch_sharding(mesh))
+                       seed=cfg.seed, sharding=batch_sharding(mesh), **proc)
 
 
 def evaluate(cfg: EvalConfig, loader: Optional[PatchLoader] = None,

@@ -1,9 +1,19 @@
 """Workbench tools: data splitting, WSI stitched inference, MC uncertainty,
 checkpoint inspection, selection-threshold calibration.
 
-Lazy re-exports (PEP 562): ``python -m ...tools.<name>`` must not eagerly
-import sibling tools (that triggers the runpy double-import warning and pays
-every tool's import cost), and jax-heavy tools stay unloaded until used.
+Lazy re-exports (PEP 562): importing the package must not eagerly import any
+tool (snet-split is a pure-host numpy/PIL tool and must not pay jax's
+multi-second import; ``python -m ...tools.<name>`` must not double-import
+siblings).
+
+Two names are deliberately NOT re-exported: ``calibrate`` and
+``tiled_inference`` collide with their submodules, and the import machinery
+binds the SUBMODULE on the package whenever it loads — any function re-export
+under those names is eventually shadowed (or forces the eager jax import this
+module exists to avoid). ``tools.calibrate`` / ``tools.tiled_inference`` are
+therefore always the submodules; call ``tools.calibrate.calibrate(...)`` /
+``tools.tiled_inference.tiled_inference(...)``, or use the unambiguous lazy
+exports below (``risk_coverage_curve``, ``wsi_mask``, ...).
 """
 
 _EXPORTS = {
@@ -26,28 +36,26 @@ _EXPORTS = {
     "wsi_inference": ".wsi",
 }
 
-# These two exports share their submodule's name, so they CANNOT be lazy: the
-# import machinery binds `tools.calibrate`/`tools.tiled_inference` to the
-# SUBMODULE whenever it loads, which wins over __getattr__ for every later
-# access — the function must eagerly overwrite that binding.
-from .calibrate import calibrate  # noqa: E402,F401
-from .tiled_inference import tiled_inference  # noqa: E402,F401
+_SUBMODULES = frozenset({
+    "calibrate", "data_split", "inspect_ckpt", "sweep", "tiled_inference",
+    "uncertainty", "wsi",
+})
 
-_EAGER = ("calibrate", "tiled_inference")
-
-__all__ = sorted((*_EXPORTS, *_EAGER))
+__all__ = sorted(set(_EXPORTS) | _SUBMODULES)
 
 
 def __getattr__(name):
+    from importlib import import_module
+
+    if name in _SUBMODULES:  # tools.calibrate etc. always mean the submodule
+        return import_module("." + name, __name__)
     try:
         spec = _EXPORTS[name]
     except KeyError:
         raise AttributeError(f"module {__name__!r} has no attribute {name!r}") from None
-    from importlib import import_module
-
     module, attr = spec if isinstance(spec, tuple) else (spec, name)
     value = getattr(import_module(module, __name__), attr)
-    globals()[name] = value  # cache; also guards against submodule shadowing
+    globals()[name] = value  # cache the resolved value
     return value
 
 

@@ -131,8 +131,9 @@ def _accumulate(loader, variables, step) -> np.ndarray:
     return np.sum(np.asarray(jax.device_get(hists), np.int64), axis=0)
 
 
-def _load_single(cfg: EvalConfig):
-    from ..eval_lib import load_models
+def _load_single(cfg: EvalConfig, verbose: bool = True):
+    from ..models import build_model
+    from ..utils.checkpoint import latest_checkpoint, list_checkpoints, load_net_checkpoint
 
     if not cfg.selective:
         raise ValueError("calibration requires a selective model")
@@ -142,11 +143,19 @@ def _load_single(cfg: EvalConfig):
             "selection heads only; CE-form (UNet) selection is argmax-evaluated"
         )
     mesh = make_mesh(cfg.n_devices)
-    model, variables_list = load_models(cfg)
-    if len(variables_list) != 1:
-        raise ValueError("calibrate one checkpoint at a time "
-                         f"(found {len(variables_list)} in {cfg.model_dir})")
-    return mesh, model, replicate(variables_list[0], mesh)
+    # A default training run keeps EVERY epoch in the checkpoint dir; unlike
+    # eval (which would ensemble them), calibration targets one model — the
+    # digit-latest, matching resume semantics (net_utils.py:18-24).
+    found = latest_checkpoint(cfg.model_dir)
+    if found is None:
+        raise FileNotFoundError(f"no .ckpt/.pth checkpoints in {cfg.model_dir}")
+    path, epoch = found
+    n = len(list_checkpoints(cfg.model_dir))
+    if verbose and n > 1:
+        print(f"calibrating the digit-latest of {n} checkpoints: epoch {epoch}")
+    model = build_model(cfg.model_arch[0], cfg.n_cls, cfg.selective,
+                        cfg.compute_dtype)
+    return mesh, model, replicate(load_net_checkpoint(path), mesh)
 
 
 def _to_eval_space(t, single_scale: str):
@@ -173,7 +182,7 @@ def risk_coverage_curve(cfg: EvalConfig, data_list=None,
     needing both never run the split twice."""
     from ..eval_lib import make_eval_loader
 
-    mesh, model, variables = _load_single(cfg)
+    mesh, model, variables = _load_single(cfg, verbose)
     loader = make_eval_loader(cfg, mesh, data_list=data_list)
     hist2d = _accumulate(loader, variables, make_rc_histogram_step(model, cfg))
     curve = curve_from_histogram(hist2d)
@@ -233,7 +242,7 @@ def calibrate(cfg: EvalConfig, target_coverage: float = 0.8,
     untouched, the methodologically clean choice)."""
     from ..eval_lib import make_eval_loader
 
-    mesh, model, variables = _load_single(cfg)
+    mesh, model, variables = _load_single(cfg, verbose)
     loader = make_eval_loader(cfg, mesh, data_list=data_list)
     hist = _accumulate(loader, variables, make_histogram_step(model, cfg.n_cls))
     return _finish_calibration(

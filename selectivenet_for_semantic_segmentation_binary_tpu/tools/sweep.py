@@ -39,7 +39,7 @@ from ..data import construct_train_valid
 from ..eval_lib import evaluate, make_eval_loader
 from ..parallel.mesh import make_mesh
 from ..train_lib import train
-from ..utils.checkpoint import list_checkpoints
+from ..utils.checkpoint import _epoch_of, latest_checkpoint, list_checkpoints
 from .wsi import save_performance_as_csv
 
 
@@ -98,11 +98,6 @@ def _eval_single_checkpoint(cfg: EvalConfig, ckpt_path: str, loader) -> Dict:
         return evaluate(replace(cfg, model_dir=d), loader=loader, verbose=False)
 
 
-def _epoch_of(path: str) -> int:
-    digits = "".join(c for c in os.path.basename(path) if c.isdigit())
-    return int(digits) if digits else -1
-
-
 def run_sweep(
     data_dir: str,
     model_root: str,
@@ -132,9 +127,13 @@ def run_sweep(
                 **{**variant.train_kw, **train_overrides},
             )
             ckpt_dir = os.path.join(model_dir, f"{fold}-fold", "checkpoint")
-            have = len(list_checkpoints(ckpt_dir))
-            if have < t_cfg.n_epoch:  # auto-resume fills the remainder
-                t_cfg = replace(t_cfg, n_epoch=t_cfg.n_epoch - have)
+            # Remaining epochs come from the digit-LATEST epoch, which is
+            # where train() resumes — a file COUNT would overtrain whenever
+            # the dir is non-contiguous (e.g. pruned by --keep_ckpt).
+            latest = latest_checkpoint(ckpt_dir)
+            done = latest[1] if latest else 0
+            if done < t_cfg.n_epoch:  # auto-resume fills the remainder
+                t_cfg = replace(t_cfg, n_epoch=t_cfg.n_epoch - done)
                 train(t_cfg, verbose=False)
 
             e_kwargs = dict(
@@ -154,7 +153,8 @@ def run_sweep(
                 v_data_dir, test_fold=fold, seed=t_cfg.seed
             )
             valid_loader = make_eval_loader(e_cfg, mesh, data_list=valid_list)
-            ckpts = sorted(list_checkpoints(ckpt_dir), key=_epoch_of)
+            ckpts = sorted(list_checkpoints(ckpt_dir),
+                           key=lambda p: _epoch_of(os.path.basename(p)))
             scored = []
             for ckpt in ckpts:
                 res = _eval_single_checkpoint(e_cfg, ckpt, valid_loader)
@@ -167,7 +167,7 @@ def run_sweep(
             row = {
                 "variant": variant.name,
                 "fold": fold,
-                "best_epoch": _epoch_of(best_ckpt),
+                "best_epoch": _epoch_of(os.path.basename(best_ckpt)),
                 f"valid_{select_metric}": best_score,
                 "accuracy": results["accuracy"],
                 "accuracy_class": results["accuracy_class"],

@@ -449,6 +449,11 @@ def make_loaders(cfg: TrainConfig, mesh) -> Tuple[PatchLoader, PatchLoader]:
         and not getattr(cfg, "pnt_aug", False)
     )
     sharding = batch_sharding(mesh)
+    # Multi-host: each process decodes only its contiguous slice of every
+    # global batch; put_global assembles (parallel/multihost.py). (0, 1)
+    # single-process is the identity configuration.
+    proc = dict(process_index=jax.process_index(),
+                process_count=jax.process_count())
 
     if raw_mode:
         ds_train = PatchDataset(cfg.data_dir, train_list, cfg.patch_mag,
@@ -458,11 +463,11 @@ def make_loaders(cfg: TrainConfig, mesh) -> Tuple[PatchLoader, PatchLoader]:
         loader_train = PatchLoader(ds_train, cfg.batch_size, shuffle=True,
                                    num_workers=cfg.num_workers, drop_last=cfg.drop_last,
                                    seed=cfg.seed, sharding=sharding,
-                                   device_preproc=True, random_flip=True)
+                                   device_preproc=True, random_flip=True, **proc)
         loader_valid = PatchLoader(ds_valid, cfg.batch_size, shuffle=False,
                                    num_workers=cfg.num_workers, drop_last=False,
                                    seed=cfg.seed, sharding=sharding,
-                                   device_preproc=True, random_flip=False)
+                                   device_preproc=True, random_flip=False, **proc)
         return loader_train, loader_valid
 
     pre = []
@@ -483,10 +488,10 @@ def make_loaders(cfg: TrainConfig, mesh) -> Tuple[PatchLoader, PatchLoader]:
                             cfg.input_type, transform=tf_valid)
     loader_train = PatchLoader(ds_train, cfg.batch_size, shuffle=True,
                                num_workers=cfg.num_workers, drop_last=cfg.drop_last,
-                               seed=cfg.seed, sharding=sharding)
+                               seed=cfg.seed, sharding=sharding, **proc)
     loader_valid = PatchLoader(ds_valid, cfg.batch_size, shuffle=False,
                                num_workers=cfg.num_workers, drop_last=False,
-                               seed=cfg.seed, sharding=sharding)
+                               seed=cfg.seed, sharding=sharding, **proc)
     return loader_train, loader_valid
 
 
@@ -530,81 +535,86 @@ def train(cfg: TrainConfig, loaders=None, verbose: bool = True) -> Dict[str, Any
     ckpt_writer = AsyncCheckpointWriter() if getattr(cfg, "ckpt_async", False) else None
 
     final: Dict[str, Any] = {}
-    for epoch in range(start_epoch + 1, start_epoch + cfg.n_epoch + 1):
-        current_lr = scheduler.lr
-        writer_train.add_scalar("lr", current_lr, epoch)
-        if verbose:
-            print(f"epoch {epoch} / {start_epoch + cfg.n_epoch}, learning rate {current_lr}")
+    try:
+        for epoch in range(start_epoch + 1, start_epoch + cfg.n_epoch + 1):
+            current_lr = scheduler.lr
+            writer_train.add_scalar("lr", current_lr, epoch)
+            if verbose:
+                print(f"epoch {epoch} / {start_epoch + cfg.n_epoch}, learning rate {current_lr}")
 
-        if hasattr(loader_train, "set_epoch"):
-            loader_train.set_epoch(epoch)
-        rng, epoch_rng = jax.random.split(rng)
-        # profile the 2nd epoch of the run (past compilation) when requested
-        profiling = cfg.profile_dir is not None and epoch == start_epoch + 2
-        if profiling:
-            jax.profiler.start_trace(cfg.profile_dir)
-        state, tr, tr_batch, tr_metrics = _run_epoch(
-            cfg, loader_train, train_step, state, current_lr, epoch_rng, train=True
-        )
-        if profiling:
-            jax.profiler.stop_trace()
-
-        if cfg.lr_sche is not None:
-            scheduler.step(tr.loss if cfg.lr_sche == "ReduceLR" else None)
-
-        writer_train.add_scalar("loss", tr.loss, epoch)
-        writer_train.add_scalar("accuracy", tr.acc, epoch)
-        writer_train.add_scalar("patches_per_sec", tr.patches_per_sec, epoch)
-        if cfg.selective:
-            writer_train.add_scalar("aux loss", tr.aux_loss, epoch)
-            writer_train.add_scalar("selection loss", tr.sel_loss, epoch)
-            writer_train.add_scalar("rejection ratio", tr.rejection, epoch)
-        if cfg.log_img and tr_batch is not None:
-            _log_epoch_images(writer_train, cfg, tr_batch, tr_metrics, epoch)
-
-        _, va, _, _ = _run_epoch(
-            cfg, loader_valid, valid_step, state, current_lr, rng, train=False
-        )
-        writer_valid.add_scalar("loss", va.loss, epoch)
-        writer_valid.add_scalar("accuracy", va.acc, epoch)
-        if cfg.selective:
-            writer_valid.add_scalar("aux loss", va.aux_loss, epoch)
-            writer_valid.add_scalar("selection loss", va.sel_loss, epoch)
-            writer_valid.add_scalar("rejection ratio", va.rejection, epoch)
-
-        if verbose:
-            print(
-                "train_loss %.05f train_acc %.04f | valid_loss %.05f valid_acc %.04f"
-                " | %.0f patches/s"
-                % (tr.loss, tr.acc, va.loss, va.acc, tr.patches_per_sec)
+            if hasattr(loader_train, "set_epoch"):
+                loader_train.set_epoch(epoch)
+            rng, epoch_rng = jax.random.split(rng)
+            # profile the 2nd epoch of the run (past compilation) when requested
+            profiling = cfg.profile_dir is not None and epoch == start_epoch + 2
+            if profiling:
+                jax.profiler.start_trace(cfg.profile_dir)
+            state, tr, tr_batch, tr_metrics = _run_epoch(
+                cfg, loader_train, train_step, state, current_lr, epoch_rng, train=True
             )
+            if profiling:
+                jax.profiler.stop_trace()
+
+            if cfg.lr_sche is not None:
+                scheduler.step(tr.loss if cfg.lr_sche == "ReduceLR" else None)
+
+            writer_train.add_scalar("loss", tr.loss, epoch)
+            writer_train.add_scalar("accuracy", tr.acc, epoch)
+            writer_train.add_scalar("patches_per_sec", tr.patches_per_sec, epoch)
             if cfg.selective:
-                print(
-                    "train_aux_loss %.05f | train_select_loss %.05f | train_rejection %.03f"
-                    % (tr.aux_loss, tr.sel_loss, tr.rejection)
-                )
-                print(
-                    "valid_aux_loss %.05f | valid_select_loss %.05f | valid_rejection %.03f"
-                    % (va.aux_loss, va.sel_loss, va.rejection)
-                )
+                writer_train.add_scalar("aux loss", tr.aux_loss, epoch)
+                writer_train.add_scalar("selection loss", tr.sel_loss, epoch)
+                writer_train.add_scalar("rejection ratio", tr.rejection, epoch)
+            if cfg.log_img and tr_batch is not None:
+                _log_epoch_images(writer_train, cfg, tr_batch, tr_metrics, epoch)
 
-        host_state = jax.device_get(state)
-        payload = {
-            "net": {"params": host_state.params, "batch_stats": host_state.batch_stats},
-            "optim": _opt_state_dict(host_state.opt_state),
-            "scheduler": scheduler.state_dict(),
-            "epoch": epoch,
-        }
-        keep = cfg.keep_ckpt
+            _, va, _, _ = _run_epoch(
+                cfg, loader_valid, valid_step, state, current_lr, rng, train=False
+            )
+            writer_valid.add_scalar("loss", va.loss, epoch)
+            writer_valid.add_scalar("accuracy", va.acc, epoch)
+            if cfg.selective:
+                writer_valid.add_scalar("aux loss", va.aux_loss, epoch)
+                writer_valid.add_scalar("selection loss", va.sel_loss, epoch)
+                writer_valid.add_scalar("rejection ratio", va.rejection, epoch)
+
+            if verbose:
+                print(
+                    "train_loss %.05f train_acc %.04f | valid_loss %.05f valid_acc %.04f"
+                    " | %.0f patches/s"
+                    % (tr.loss, tr.acc, va.loss, va.acc, tr.patches_per_sec)
+                )
+                if cfg.selective:
+                    print(
+                        "train_aux_loss %.05f | train_select_loss %.05f | train_rejection %.03f"
+                        % (tr.aux_loss, tr.sel_loss, tr.rejection)
+                    )
+                    print(
+                        "valid_aux_loss %.05f | valid_select_loss %.05f | valid_rejection %.03f"
+                        % (va.aux_loss, va.sel_loss, va.rejection)
+                    )
+
+            host_state = jax.device_get(state)
+            payload = {
+                "net": {"params": host_state.params, "batch_stats": host_state.batch_stats},
+                "optim": _opt_state_dict(host_state.opt_state),
+                "scheduler": scheduler.state_dict(),
+                "epoch": epoch,
+            }
+            keep = cfg.keep_ckpt
+            if ckpt_writer is not None:
+                ckpt_writer.save(cfg.ckpt_dir, payload, epoch, keep=keep)
+            else:
+                save_checkpoint(cfg.ckpt_dir, payload, epoch)
+                prune_checkpoints(cfg.ckpt_dir, keep)
+            final = {"epoch": epoch, "train": tr, "valid": va, "state": state}
+
+    finally:
+        # join the in-flight async write even on error/interrupt, so an
+        # issued epoch-N save always lands and stored write errors surface
         if ckpt_writer is not None:
-            ckpt_writer.save(cfg.ckpt_dir, payload, epoch, keep=keep)
-        else:
-            save_checkpoint(cfg.ckpt_dir, payload, epoch)
-            prune_checkpoints(cfg.ckpt_dir, keep)
-        final = {"epoch": epoch, "train": tr, "valid": va, "state": state}
+            ckpt_writer.wait()
 
-    if ckpt_writer is not None:
-        ckpt_writer.wait()
     writer_train.close()
     writer_valid.close()
     return final
