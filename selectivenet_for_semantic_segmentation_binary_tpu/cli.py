@@ -71,4 +71,5 @@ def inspect_ckpt_main() -> None:
 def calibrate_main() -> None:
     from .tools.calibrate import main
 
+    _maybe_init_distributed()  # calibration is eval-shaped: same fleet semantics
     main()

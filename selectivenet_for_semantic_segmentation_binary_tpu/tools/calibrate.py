@@ -282,6 +282,10 @@ def main(argv=None) -> None:
     p.add_argument("--target_coverage", type=float, default=0.8)
     p.add_argument("--split", choices=["test", "valid"], default="valid",
                    help="calibration split; 'valid' keeps the test fold clean")
+    p.add_argument("--seed", type=int, default=42,
+                   help="train/valid split seed — must match the --seed the "
+                        "model was trained with, or the 'valid' split overlaps "
+                        "the training data and biases the threshold")
     p.add_argument("--curve_csv", default=None,
                    help="also sweep the full risk-coverage curve and write it "
                         "as CSV (s_cut_off, coverage, risk, accuracy rows)")
@@ -297,7 +301,8 @@ def main(argv=None) -> None:
     if a.split == "valid":
         from ..data import construct_train_valid
 
-        _train, data_list = construct_train_valid(a.data_dir, test_fold=a.fold)
+        _train, data_list = construct_train_valid(a.data_dir, test_fold=a.fold,
+                                                  seed=a.seed)
     if a.curve_csv:
         # one pass serves both: the rc histogram's correctness marginal IS
         # the calibration histogram
