@@ -71,6 +71,16 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
 
 
+class _NullWriter:
+    """Drop-in SummaryWriter stand-in for non-zero fleet processes."""
+
+    def add_scalar(self, *a, **k) -> None: ...
+
+    def add_images(self, *a, **k) -> None: ...
+
+    def close(self) -> None: ...
+
+
 # ---------------------------------------------------------------------------
 # step construction
 # ---------------------------------------------------------------------------
@@ -506,7 +516,8 @@ def train(cfg: TrainConfig, loaders=None, verbose: bool = True) -> Dict[str, Any
 
     model = build_model(cfg.model_arch, cfg.n_cls, cfg.selective,
                         cfg.compute_dtype, cfg.dropout_rate,
-                        fused=resolve_fused(cfg, mesh))
+                        fused=resolve_fused(cfg, mesh),
+                        bn_stats=getattr(cfg, "bn_stats", "float32"))
     tx = build_optimizer(cfg)
     rng = jax.random.PRNGKey(cfg.seed)
     rng, init_rng = jax.random.split(rng)
@@ -529,10 +540,21 @@ def train(cfg: TrainConfig, loaders=None, verbose: bool = True) -> Dict[str, Any
         loaders = make_loaders(cfg, mesh)
     loader_train, loader_valid = loaders
 
-    writer_train = SummaryWriter(f"{cfg.log_dir}/train")
-    writer_valid = SummaryWriter(f"{cfg.log_dir}/valid")
+    # Multi-process fleet: host 0 owns every filesystem artifact (checkpoints,
+    # TB events). All hosts still RESTORE (shared-fs layout), and the metric
+    # values are replicated jit outputs so every host computes identical
+    # numbers — only the writes are deduplicated (save_checkpoint's atomic
+    # rename uses a fixed .tmp name, and same-host TB event files can collide,
+    # so concurrent same-dir writers would corrupt each other).
+    is_writer = jax.process_index() == 0
+    if is_writer:
+        writer_train = SummaryWriter(f"{cfg.log_dir}/train")
+        writer_valid = SummaryWriter(f"{cfg.log_dir}/valid")
+    else:
+        writer_train = writer_valid = _NullWriter()
 
-    ckpt_writer = AsyncCheckpointWriter() if getattr(cfg, "ckpt_async", False) else None
+    ckpt_writer = (AsyncCheckpointWriter()
+                   if is_writer and getattr(cfg, "ckpt_async", False) else None)
 
     final: Dict[str, Any] = {}
     try:
@@ -565,7 +587,10 @@ def train(cfg: TrainConfig, loaders=None, verbose: bool = True) -> Dict[str, Any
                 writer_train.add_scalar("aux loss", tr.aux_loss, epoch)
                 writer_train.add_scalar("selection loss", tr.sel_loss, epoch)
                 writer_train.add_scalar("rejection ratio", tr.rejection, epoch)
-            if cfg.log_img and tr_batch is not None:
+            # image panels need the full global batch on one host; a fleet's
+            # batch shards are not fully addressable, so panels are single-
+            # process only (scalar logging is unaffected)
+            if cfg.log_img and tr_batch is not None and jax.process_count() == 1:
                 _log_epoch_images(writer_train, cfg, tr_batch, tr_metrics, epoch)
 
             _, va, _, _ = _run_epoch(
@@ -594,19 +619,20 @@ def train(cfg: TrainConfig, loaders=None, verbose: bool = True) -> Dict[str, Any
                         % (va.aux_loss, va.sel_loss, va.rejection)
                     )
 
-            host_state = jax.device_get(state)
-            payload = {
-                "net": {"params": host_state.params, "batch_stats": host_state.batch_stats},
-                "optim": _opt_state_dict(host_state.opt_state),
-                "scheduler": scheduler.state_dict(),
-                "epoch": epoch,
-            }
-            keep = cfg.keep_ckpt
-            if ckpt_writer is not None:
-                ckpt_writer.save(cfg.ckpt_dir, payload, epoch, keep=keep)
-            else:
-                save_checkpoint(cfg.ckpt_dir, payload, epoch)
-                prune_checkpoints(cfg.ckpt_dir, keep)
+            if is_writer:
+                host_state = jax.device_get(state)
+                payload = {
+                    "net": {"params": host_state.params, "batch_stats": host_state.batch_stats},
+                    "optim": _opt_state_dict(host_state.opt_state),
+                    "scheduler": scheduler.state_dict(),
+                    "epoch": epoch,
+                }
+                keep = cfg.keep_ckpt
+                if ckpt_writer is not None:
+                    ckpt_writer.save(cfg.ckpt_dir, payload, epoch, keep=keep)
+                else:
+                    save_checkpoint(cfg.ckpt_dir, payload, epoch)
+                    prune_checkpoints(cfg.ckpt_dir, keep)
             final = {"epoch": epoch, "train": tr, "valid": va, "state": state}
 
     finally:
@@ -617,6 +643,12 @@ def train(cfg: TrainConfig, loaders=None, verbose: bool = True) -> Dict[str, Any
 
     writer_train.close()
     writer_valid.close()
+    if jax.process_count() > 1:
+        # fleet barrier: returning means "checkpoints durable" on every host,
+        # so a follow-on evaluate() cannot race host 0's final epoch write
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("snet_train_done")
     return final
 
 

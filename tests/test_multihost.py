@@ -23,6 +23,7 @@ from selectivenet_for_semantic_segmentation_binary_tpu.data import (
 )
 
 _WORKER = os.path.join(os.path.dirname(__file__), "_multihost_worker.py")
+_ENTRY_WORKER = os.path.join(os.path.dirname(__file__), "_multihost_entry_worker.py")
 
 
 def _free_port() -> int:
@@ -31,7 +32,8 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_fleet(nproc: int, data_dir: str, out_path: str) -> dict:
+def _run_fleet(nproc: int, data_dir: str, out_path: str, *,
+               worker: str = _WORKER, extra_args: tuple = ()) -> dict:
     port = _free_port()
     env = {
         k: v for k, v in os.environ.items()
@@ -41,13 +43,13 @@ def _run_fleet(nproc: int, data_dir: str, out_path: str) -> dict:
     env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
-            [sys.executable, _WORKER, str(pid), str(nproc), str(port),
-             data_dir, out_path],
+            [sys.executable, worker, str(pid), str(nproc), str(port),
+             data_dir, *extra_args, out_path],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
         )
         for pid in range(nproc)
     ]
-    outs = [p.communicate(timeout=600)[0].decode() for p in procs]
+    outs = [p.communicate(timeout=900)[0].decode() for p in procs]
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
     with open(out_path) as f:
@@ -71,3 +73,43 @@ def test_two_process_fleet_matches_single_process(tmp_path):
                                rtol=1e-3, atol=1e-5)
     np.testing.assert_allclose(multi["coverages"], single["coverages"],
                                rtol=1e-3, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_public_entry_points_process_count_invariant(tmp_path):
+    """The PUBLIC train()/evaluate() under 1, 2, and 4 jax.distributed
+    processes produce the same trajectory and metrics (VERDICT round-2 #2/#7):
+    this is the one code path that exists specifically for fleets —
+    make_loaders'/make_eval_loader's process slicing, the host-0 write
+    discipline, the end-of-train barrier, and the replicated metric fetches.
+    """
+    data_dir = str(tmp_path / "data")
+    write_synthetic_patch_tree(data_dir, n_slides=3, patches_per_slide=12,
+                               patch_size=32, seed=5)
+
+    runs = {}
+    for nproc in (1, 2, 4):
+        model_dir = str(tmp_path / f"model_{nproc}")
+        runs[nproc] = _run_fleet(
+            nproc, data_dir, str(tmp_path / f"entry_{nproc}.json"),
+            worker=_ENTRY_WORKER, extra_args=(model_dir,),
+        )
+        # host-0-only checkpoint writes, keep_ckpt=1 retention applied
+        ckpts = os.listdir(f"{model_dir}/1-fold/checkpoint")
+        assert ckpts == ["model_epoch2.ckpt"], ckpts
+
+    single = runs[1]
+    for nproc in (2, 4):
+        multi = runs[nproc]
+        # fp32 gloo allreduce reduction-order drift vs the single-process
+        # fusion is ~1e-4 relative (see the fleet step test above)
+        for key in ("train_loss", "valid_loss", "train_rejection",
+                    "valid_rejection"):
+            np.testing.assert_allclose(multi[key], single[key],
+                                       rtol=1e-3, atol=1e-5, err_msg=key)
+        # count-based metrics can flip individual near-threshold pixels under
+        # that weight drift; assert they agree to a fraction of a percent
+        for key in ("valid_acc", "eval_accuracy", "eval_mIoU",
+                    "eval_rejection"):
+            np.testing.assert_allclose(multi[key], single[key], atol=5e-3,
+                                       err_msg=key)
