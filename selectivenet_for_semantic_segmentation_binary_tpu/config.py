@@ -74,6 +74,8 @@ class TrainConfig:
     # --- TPU-native extensions (no reference equivalent) ---
     num_workers: int = 16            # decode threads (reference train.py:380)
     compute_dtype: str = "bfloat16"  # activations/conv compute dtype on TPU
+    bn_stats: str = "float32"        # BN batch-statistics reduction dtype
+                                     # ('bfloat16' = LowPrecStatsBN fast path)
     seed: int = 42
     drop_last: bool = True           # static shapes for jit; see data/loader.py
     restore_optim: bool = False      # reference deliberately skips it (train.py:126)

@@ -63,15 +63,73 @@ def torch_bias_init(fan_in: int):
     return _uniform_init(1.0 / fan_in ** 0.5)
 
 
+class LowPrecStatsBN(nn.Module):
+    """BatchNorm whose BATCH statistics are computed in ``stats_dtype``
+    (bf16) instead of flax's always-float32 — a measured throughput lever:
+    the f32 stats path's convert+reduce fusions over full-resolution
+    activations are 24.5% of the train-step device profile (docs/RESULTS.md),
+    and computing them in bf16 removed ~6% of the whole fwd+bwd on the raw
+    trunk substrate (scripts/perf_round3.py).
+
+    Parameter/batch_stats tree (names, shapes, f32 storage) is IDENTICAL to
+    ``nn.BatchNorm`` so checkpoints interchange freely; eval mode (running
+    stats) is numerically identical to the flax path. Train-mode deviation is
+    the reduction dtype only (TPU reduces accumulate in f32 internally; the
+    rounding is on the 2^-8-relative order — characterized in
+    tests/test_model.py and the lockstep drift run).
+    """
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.bfloat16        # normalization math dtype (flax `dtype`)
+    stats_dtype: Dtype = jnp.bfloat16  # batch mean/var reduction dtype
+
+    @nn.compact
+    def __call__(self, x: jax.Array, use_running_average: bool) -> jax.Array:
+        feats = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (feats,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (feats,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda s: jnp.zeros(s, jnp.float32), (feats,))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda s: jnp.ones(s, jnp.float32), (feats,))
+        d = self.dtype
+        if use_running_average:
+            mean = ra_mean.value.astype(d)
+            var = ra_var.value.astype(d)
+        else:
+            xs = x.astype(self.stats_dtype)
+            bmean = jnp.mean(xs, axis=(0, 1, 2))
+            # TWO-PASS variance: the one-pass E[x^2]-E[x]^2 form is
+            # catastrophic in bf16 (measured: returns exactly 0 once
+            # |mean|/std >= ~16, i.e. 2^8 cancellation — rsqrt would then
+            # explode); centering first keeps the relative error < 1e-2 at
+            # every realistic activation statistic (see tests/test_model.py)
+            diff = xs - bmean
+            bvar = jnp.mean(jnp.square(diff), axis=(0, 1, 2))
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = (m * ra_mean.value
+                                 + (1.0 - m) * bmean.astype(jnp.float32))
+                ra_var.value = (m * ra_var.value
+                                + (1.0 - m) * bvar.astype(jnp.float32))
+            mean, var = bmean.astype(d), bvar.astype(d)
+        mul = scale.astype(d) * jax.lax.rsqrt(var + jnp.asarray(self.epsilon, d))
+        return (x.astype(d) - mean) * mul + bias.astype(d)
+
+
 class CBR(nn.Module):
     """Conv3x3 -> BatchNorm -> ReLU (reference model.py:9-15).
 
     ``folded=True`` builds the BN-folded serving variant (Conv -> ReLU, BN
-    affine pre-multiplied into the kernel/bias by ops/fold_bn.py)."""
+    affine pre-multiplied into the kernel/bias by ops/fold_bn.py).
+    ``bn_stats='bfloat16'`` swaps in LowPrecStatsBN (same tree, bf16 batch
+    statistics)."""
 
     features: int
     dtype: Dtype = jnp.float32
     folded: bool = False
+    bn_stats: str = "float32"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -89,14 +147,23 @@ class CBR(nn.Module):
             name="conv",
         )(x)
         if not self.folded:
-            x = nn.BatchNorm(
-                use_running_average=not train,
-                momentum=0.9,        # torch BatchNorm2d momentum=0.1 <=> flax 0.9
-                epsilon=1e-5,        # torch default
-                dtype=self.dtype,
-                param_dtype=jnp.float32,
-                name="bn",
-            )(x)
+            if self.bn_stats != "float32":
+                x = LowPrecStatsBN(
+                    momentum=0.9,
+                    epsilon=1e-5,
+                    dtype=self.dtype,
+                    stats_dtype=jnp.dtype(self.bn_stats),
+                    name="bn",
+                )(x, use_running_average=not train)
+            else:
+                x = nn.BatchNorm(
+                    use_running_average=not train,
+                    momentum=0.9,    # torch BatchNorm2d momentum=0.1 <=> flax 0.9
+                    epsilon=1e-5,    # torch default
+                    dtype=self.dtype,
+                    param_dtype=jnp.float32,
+                    name="bn",
+                )(x)
         return nn.relu(x)
 
 
@@ -336,11 +403,12 @@ class _UNetTrunk(nn.Module):
     dtype: Dtype = jnp.float32
     dropout_rate: float = 0.0
     folded: bool = False
+    bn_stats: str = "float32"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool, mc_dropout: bool = False) -> jax.Array:
         d = self.dtype
-        cbr = partial(CBR, dtype=d, folded=self.folded)
+        cbr = partial(CBR, dtype=d, folded=self.folded, bn_stats=self.bn_stats)
 
         enc1 = cbr(64, name="enc1_1")(x, train)
         enc1 = cbr(64, name="enc1_2")(enc1, train)
@@ -392,6 +460,7 @@ class UNetB(nn.Module):
     folded: bool = False
     fused: bool = False          # fused-CBR dataflow (Pallas on TPU)
     fused_interpret: bool = False  # run the Pallas kernels interpreted (tests)
+    bn_stats: str = "float32"    # batch-statistics dtype (LowPrecStatsBN)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False, mc_dropout: bool = False):
@@ -402,7 +471,8 @@ class UNetB(nn.Module):
                                    name="trunk")(x, train, mc_dropout)
         else:
             feat = _UNetTrunk(dtype=self.dtype, dropout_rate=self.dropout_rate,
-                              folded=self.folded, name="trunk")(x, train, mc_dropout)
+                              folded=self.folded, bn_stats=self.bn_stats,
+                              name="trunk")(x, train, mc_dropout)
         out = Head(1, dtype=self.dtype, name="conv1x1")(feat)
         out = jnp.squeeze(out, -1).astype(jnp.float32)
         if not self.selective:
@@ -427,6 +497,7 @@ class UNet(nn.Module):
     folded: bool = False
     fused: bool = False
     fused_interpret: bool = False
+    bn_stats: str = "float32"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False, mc_dropout: bool = False):
@@ -437,7 +508,8 @@ class UNet(nn.Module):
                                    name="trunk")(x, train, mc_dropout)
         else:
             feat = _UNetTrunk(dtype=self.dtype, dropout_rate=self.dropout_rate,
-                              folded=self.folded, name="trunk")(x, train, mc_dropout)
+                              folded=self.folded, bn_stats=self.bn_stats,
+                              name="trunk")(x, train, mc_dropout)
         out = Head(self.n_cls, dtype=self.dtype, name="conv1x1")(feat).astype(jnp.float32)
         if not self.selective:
             return out
@@ -455,23 +527,27 @@ def build_model(
     folded: bool = False,
     fused: bool = False,
     fused_interpret: bool = False,
+    bn_stats: str = "float32",
 ) -> nn.Module:
     """Factory matching the reference's arch selection (train.py:71-74).
 
     ``folded=True`` builds the BN-folded serving variant consuming params
     produced by ops.fold_bn.fold_batchnorm. ``fused=True`` selects the
     fused-CBR trunk (Pallas kernels on TPU; identical parameter tree);
-    ``fused_interpret`` runs those kernels interpreted (CPU tests)."""
+    ``fused_interpret`` runs those kernels interpreted (CPU tests).
+    ``bn_stats`` selects the batch-statistics reduction dtype (LowPrecStatsBN;
+    'float32' keeps flax nn.BatchNorm exactly)."""
     dtype = jnp.dtype(compute_dtype)
     if folded and fused:
         raise ValueError("folded serving graph and fused training trunk are exclusive")
     if model_arch == "UNet_B":
         return UNetB(selective=selective, dtype=dtype, dropout_rate=dropout_rate,
-                     folded=folded, fused=fused, fused_interpret=fused_interpret)
+                     folded=folded, fused=fused, fused_interpret=fused_interpret,
+                     bn_stats=bn_stats)
     if model_arch == "UNet":
         return UNet(n_cls=n_cls, selective=selective, dtype=dtype,
                     dropout_rate=dropout_rate, folded=folded, fused=fused,
-                    fused_interpret=fused_interpret)
+                    fused_interpret=fused_interpret, bn_stats=bn_stats)
     raise ValueError(f"unknown model_arch {model_arch!r} (expected 'UNet' or 'UNet_B')")
 
 

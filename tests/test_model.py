@@ -210,3 +210,70 @@ class TestTorchOpParity:
             np.asarray(mutated["batch_stats"]["mean"]),
             bnt.running_mean.numpy(), rtol=1e-4, atol=1e-5,
         )
+
+
+class TestLowPrecStatsBN:
+    """bn_stats='bfloat16' (models.unet.LowPrecStatsBN): identical tree and
+    eval path to nn.BatchNorm, bounded train-mode deviation, and the two-pass
+    variance regression (one-pass E[x^2]-E[x]^2 in bf16 returns exactly 0
+    once |mean|/std >= ~16 — a silent training disaster)."""
+
+    def _models(self):
+        m32 = build_model("UNet_B", selective=True, compute_dtype="bfloat16")
+        mbf = build_model("UNet_B", selective=True, compute_dtype="bfloat16",
+                          bn_stats="bfloat16")
+        return m32, mbf
+
+    def test_init_tree_and_values_identical(self):
+        x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+        m32, mbf = self._models()
+        v32 = m32.init(jax.random.PRNGKey(3), x, train=False)
+        vbf = mbf.init(jax.random.PRNGKey(3), x, train=False)
+        assert (jax.tree_util.tree_structure(v32)
+                == jax.tree_util.tree_structure(vbf))
+        for a, b in zip(jax.tree_util.tree_leaves(v32),
+                        jax.tree_util.tree_leaves(vbf)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_eval_mode_bit_identical(self):
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3), jnp.float32)
+        m32, mbf = self._models()
+        v = m32.init(jax.random.PRNGKey(3), x, train=False)
+        for a, b in zip(m32.apply(v, x, train=False),
+                        mbf.apply(v, x, train=False)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_train_mode_deviation_bounded(self):
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 32, 32, 3), jnp.float32)
+        m32, mbf = self._models()
+        v = m32.init(jax.random.PRNGKey(3), x, train=False)
+        o32, mut32 = m32.apply(v, x, train=True, mutable=["batch_stats"])
+        obf, mutbf = mbf.apply(v, x, train=True, mutable=["batch_stats"])
+        for a, b in zip(o32, obf):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32), atol=0.1)
+        for a, b in zip(jax.tree_util.tree_leaves(mut32["batch_stats"]),
+                        jax.tree_util.tree_leaves(mutbf["batch_stats"])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+    def test_two_pass_variance_survives_large_mean(self):
+        from selectivenet_for_semantic_segmentation_binary_tpu.models.unet import (
+            LowPrecStatsBN,
+        )
+
+        rng = np.random.default_rng(0)
+        # |mean|/std = 30: one-pass bf16 variance collapses to 0 here
+        x = jnp.asarray(rng.standard_normal((4, 16, 16, 8)) * 1.0 + 30.0,
+                        jnp.float32)
+        bn = LowPrecStatsBN(dtype=jnp.bfloat16, stats_dtype=jnp.bfloat16)
+        v = bn.init(jax.random.PRNGKey(0), x, use_running_average=False)
+        y, mut = bn.apply(v, x, use_running_average=False,
+                          mutable=["batch_stats"])
+        # updated running var = 0.9*1 + 0.1*batch_var; batch_var must be ~1.0
+        batch_var = (np.asarray(mut["batch_stats"]["var"]) - 0.9) / 0.1
+        # +-10% here is bf16 INPUT quantization (ulp=0.125 at magnitude 30,
+        # shared with the f32-stats path whose input is the same bf16 conv
+        # output), not reduction error; one-pass returned exactly 0.0
+        np.testing.assert_allclose(batch_var, 1.0, rtol=0.15)
+        # and the normalized output must be ~N(0,1), not exploded by rsqrt(0)
+        assert float(jnp.max(jnp.abs(y.astype(jnp.float32)))) < 10.0
