@@ -251,3 +251,211 @@ def test_lockstep_ce_sgd_training_equivalence(tmp_path):
 
     np.testing.assert_allclose(np.asarray(jax_traj), np.asarray(torch_traj),
                                rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_lockstep_long_horizon_with_scheduler(tmp_path):
+    """24-step lockstep with a stepping LR scheduler (VERDICT round-2 #3):
+    6 'epochs' x 4 steps, StepLR halving every 2 epochs — pins long-horizon
+    accumulation (BN momentum-0.9 running stats + Adam moments over 24
+    updates) AND the host-side scheduler feeding the traced lr, against the
+    torch oracle (reference train.py:96-101, 164-250)."""
+    torch = pytest.importorskip("torch")
+    torch.manual_seed(0)
+    torch.set_num_threads(2)
+    from selectivenet_for_semantic_segmentation_binary_tpu.optim import (
+        build_scheduler,
+    )
+
+    N_EPOCHS, STEPS_PER_EPOCH = 6, 4
+    cfg = TrainConfig(
+        model_arch="UNet_B", selective=True, loss="BCElogit", s_lamb=S_LAMB,
+        target_coverage=TARGET_COVERAGE, optim="Adam", lr=LR,
+        lr_sche="StepLR", patience=2, factor=0.5,
+        compute_dtype="float32", batch_size=BATCH, patch_size=SIZE,
+        drop_last=True, log_img=False,
+    )
+    model = build_model(cfg.model_arch, cfg.n_cls, cfg.selective, cfg.compute_dtype)
+    tx = build_optimizer(cfg)
+    state = create_state(cfg, model, tx, jax.random.PRNGKey(3))
+    step = make_train_step(model, cfg, tx)
+    scheduler = build_scheduler(cfg)
+
+    ckpt = str(tmp_path / "init.pth")
+    export_torch_checkpoint(
+        {"params": state.params, "batch_stats": state.batch_stats}, ckpt
+    )
+    net = _build_torch_unetb(torch)
+    net.load_state_dict(torch.load(ckpt, weights_only=False)["net"])
+    net.train()
+    opt = torch.optim.Adam(net.parameters(), lr=LR)
+    t_sched = torch.optim.lr_scheduler.StepLR(opt, step_size=2, gamma=0.5)
+
+    batches = _make_batches(N_EPOCHS * STEPS_PER_EPOCH)
+    jax_traj, torch_traj, lrs_jax, lrs_torch = [], [], [], []
+    for e in range(N_EPOCHS):
+        lrs_jax.append(scheduler.lr)
+        lrs_torch.append(opt.param_groups[0]["lr"])
+        for i in range(STEPS_PER_EPOCH):
+            x, y = batches[e * STEPS_PER_EPOCH + i]
+            xt = torch.from_numpy(x.transpose(0, 3, 1, 2).copy())
+            yt = torch.from_numpy(y.astype(np.float32))
+            out, sel, aux = net(xt)
+            loss, *_ , coverage = _torch_selective_objective(torch, out, sel, aux, yt)
+            opt.zero_grad(); loss.backward(); opt.step()
+            torch_traj.append((float(loss.detach()), float(coverage.detach())))
+
+            batch = {"input": jnp.asarray(x), "label": jnp.asarray(y)}
+            state, metrics = step(state, batch, scheduler.lr, jax.random.PRNGKey(i))
+            jax_traj.append((float(metrics["loss"]), float(metrics["coverage"])))
+        scheduler.step()
+        t_sched.step()
+
+    np.testing.assert_allclose(lrs_jax, lrs_torch, rtol=0, atol=0)
+    assert lrs_jax[0] != lrs_jax[-1], "scheduler never changed the lr"
+    jax_traj, torch_traj = np.asarray(jax_traj), np.asarray(torch_traj)
+    # fp32 drift compounds over 24 optimizer+BN updates; observed well under
+    # this bound (see docs/RESULTS.md round-3 lockstep section)
+    np.testing.assert_allclose(jax_traj, torch_traj, rtol=5e-3, atol=5e-4)
+    # the early trajectory is still tight
+    np.testing.assert_allclose(jax_traj[:8], torch_traj[:8], rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("bn_stats", ["float32", "bfloat16"])
+def test_lockstep_bf16_drift_characterized(tmp_path, bn_stats):
+    """bf16 training drift vs the fp32 torch oracle, CHARACTERIZED not
+    asserted tight (VERDICT round-2 #3): the flagship config trains in
+    bfloat16 (and optionally bf16 BN statistics — LowPrecStatsBN); this pins
+    that 12 steps of bf16 training track the fp32 oracle's trajectory to a
+    few percent and never diverge/NaN. Measured drift numbers are recorded
+    in docs/RESULTS.md."""
+    torch = pytest.importorskip("torch")
+    torch.manual_seed(0)
+    torch.set_num_threads(2)
+
+    N = 12
+    cfg = TrainConfig(
+        model_arch="UNet_B", selective=True, loss="BCElogit", s_lamb=S_LAMB,
+        target_coverage=TARGET_COVERAGE, optim="Adam", lr=LR,
+        compute_dtype="bfloat16", bn_stats=bn_stats, batch_size=BATCH,
+        patch_size=SIZE, drop_last=True, log_img=False,
+    )
+    model = build_model(cfg.model_arch, cfg.n_cls, cfg.selective,
+                        cfg.compute_dtype, bn_stats=bn_stats)
+    tx = build_optimizer(cfg)
+    state = create_state(cfg, model, tx, jax.random.PRNGKey(3))
+    step = make_train_step(model, cfg, tx)
+
+    ckpt = str(tmp_path / "init.pth")
+    export_torch_checkpoint(
+        {"params": state.params, "batch_stats": state.batch_stats}, ckpt
+    )
+    net = _build_torch_unetb(torch)
+    net.load_state_dict(torch.load(ckpt, weights_only=False)["net"])
+    net.train()
+    opt = torch.optim.Adam(net.parameters(), lr=LR)
+
+    rel_drift = []
+    for i, (x, y) in enumerate(_make_batches(N)):
+        xt = torch.from_numpy(x.transpose(0, 3, 1, 2).copy())
+        yt = torch.from_numpy(y.astype(np.float32))
+        out, sel, aux = net(xt)
+        loss, *_ = _torch_selective_objective(torch, out, sel, aux, yt)
+        opt.zero_grad(); loss.backward(); opt.step()
+
+        batch = {"input": jnp.asarray(x), "label": jnp.asarray(y)}
+        state, metrics = step(state, batch, LR, jax.random.PRNGKey(i))
+        jl, tl = float(metrics["loss"]), float(loss.detach())
+        assert np.isfinite(jl), f"bf16 loss non-finite at step {i}"
+        rel_drift.append(abs(jl - tl) / abs(tl))
+
+    # bf16 rounding (2^-8 per op) accumulates through weights; a few percent
+    # after 12 steps is the expected order — 20% would mean divergence
+    assert max(rel_drift) < 0.05, rel_drift
+
+
+@pytest.mark.slow
+def test_lockstep_through_full_data_pipeline(tmp_path):
+    """Lockstep fed from an ON-DISK synthetic patch tree through BOTH
+    frameworks' full data pipelines (VERDICT round-2 #3): this framework's
+    PatchLoader raw-uint8 device-preproc path vs a faithful torch-side
+    re-implementation of the reference pipeline (PIL decode, /255,
+    (x-0.5)/0.5, HWC->CHW; reference data_utils.py:94-236) — pinning
+    decode -> normalize -> loss equivalence, not just in-memory batches."""
+    torch = pytest.importorskip("torch")
+    from PIL import Image
+
+    torch.manual_seed(0)
+    torch.set_num_threads(2)
+    from selectivenet_for_semantic_segmentation_binary_tpu.data import (
+        PatchDataset,
+        PatchLoader,
+        construct_train_valid,
+        write_synthetic_patch_tree,
+    )
+
+    data_dir = str(tmp_path / "data")
+    write_synthetic_patch_tree(data_dir, n_slides=3, patches_per_slide=10,
+                               patch_size=SIZE, seed=9)
+    train_list, _ = construct_train_valid(data_dir, test_fold=1, seed=42)
+
+    cfg = TrainConfig(
+        data_dir=data_dir, model_arch="UNet_B", selective=True, loss="BCElogit",
+        s_lamb=S_LAMB, target_coverage=TARGET_COVERAGE, optim="Adam", lr=LR,
+        compute_dtype="float32", batch_size=BATCH, patch_size=SIZE,
+        drop_last=True, log_img=False,
+    )
+    ds = PatchDataset(data_dir, train_list, cfg.patch_mag, cfg.patch_size, "RGB")
+    # shuffle/flips off => deterministic dataset-order batches both sides
+    loader = PatchLoader(ds, BATCH, shuffle=False, num_workers=2,
+                         drop_last=True, seed=0, device_preproc=True,
+                         random_flip=False)
+
+    model = build_model(cfg.model_arch, cfg.n_cls, cfg.selective, cfg.compute_dtype)
+    tx = build_optimizer(cfg)
+    state = create_state(cfg, model, tx, jax.random.PRNGKey(3))
+    step = make_train_step(model, cfg, tx)
+
+    ckpt = str(tmp_path / "init.pth")
+    export_torch_checkpoint(
+        {"params": state.params, "batch_stats": state.batch_stats}, ckpt
+    )
+    net = _build_torch_unetb(torch)
+    net.load_state_dict(torch.load(ckpt, weights_only=False)["net"])
+    net.train()
+    opt = torch.optim.Adam(net.parameters(), lr=LR)
+
+    def torch_pipeline_batch(pairs):
+        """Reference PatchDataset semantics (data_utils.py:215-234)."""
+        xs, ys = [], []
+        for inp_name, lab_name in pairs:
+            img = np.asarray(
+                Image.open(f"{data_dir}/{cfg.patch_mag}x_{cfg.patch_size}/{inp_name}"),
+                np.float32) / 255.0
+            lab = np.asarray(
+                Image.open(f"{data_dir}/{cfg.patch_mag}x_{cfg.patch_size}/{lab_name}")
+                .convert("L"), np.float32) / 255.0
+            xs.append((img - 0.5) / 0.5)
+            ys.append(lab.astype(np.uint8))
+        x = np.stack(xs).transpose(0, 3, 1, 2)
+        return torch.from_numpy(x), torch.from_numpy(np.stack(ys).astype(np.float32))
+
+    n_steps = 3
+    jax_losses, torch_losses = [], []
+    for i, batch in enumerate(loader):
+        if i >= n_steps:
+            break
+        pairs = train_list[i * BATCH:(i + 1) * BATCH]
+        xt, yt = torch_pipeline_batch(pairs)
+        out, sel, aux = net(xt)
+        loss, *_ = _torch_selective_objective(torch, out, sel, aux, yt)
+        opt.zero_grad(); loss.backward(); opt.step()
+        torch_losses.append(float(loss.detach()))
+
+        device_batch = {k: batch[k] for k in ("input", "label", "flips") if k in batch}
+        state, metrics = step(state, device_batch, LR, jax.random.PRNGKey(i))
+        jax_losses.append(float(metrics["loss"]))
+
+    assert len(jax_losses) == n_steps
+    np.testing.assert_allclose(jax_losses, torch_losses, rtol=1e-3, atol=1e-4)
