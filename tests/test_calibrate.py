@@ -224,3 +224,28 @@ class TestEvalSpaceCurve:
         # the 2-D histogram marginal is the calibration histogram
         assert c["histogram2d"].shape[1] == 2
         assert int(c["histogram2d"].sum()) == 4 * 32 * 32
+
+
+class TestCLISeed:
+    def test_seed_flag_reaches_split(self, monkeypatch, tmp_path):
+        """--seed must feed construct_train_valid for --split valid, or a
+        non-default-seed model calibrates on data it trained on (advisor
+        round-2 finding)."""
+        from selectivenet_for_semantic_segmentation_binary_tpu.tools import (
+            calibrate as cal,
+        )
+
+        seen = {}
+
+        def fake_split(data_dir, test_fold, seed=42):
+            seen["seed"] = seed
+            raise RuntimeError("stop-after-split")
+
+        monkeypatch.setattr(
+            "selectivenet_for_semantic_segmentation_binary_tpu.data."
+            "construct_train_valid", fake_split)
+        with pytest.raises(RuntimeError, match="stop-after-split"):
+            cal.main(["--data_dir", str(tmp_path), "--fold", "1",
+                      "--model_dir", str(tmp_path), "--split", "valid",
+                      "--seed", "7"])
+        assert seen["seed"] == 7
