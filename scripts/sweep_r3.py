@@ -89,6 +89,9 @@ def main() -> None:
         data_dir, sel_root, folds=args.folds, variants=variants,
         train_overrides=dict(selective=True, **TRAIN_KW),
         eval_overrides=dict(select_eval=True),
+        # select on without-selection quality; in-coverage selection is
+        # degenerate (an all-rejecting epoch-1 head scores ~1.0 and wins)
+        select_overrides=dict(select_eval=False),
         save_dir=args.workdir,
     )
 

@@ -106,12 +106,24 @@ def run_sweep(
     train_overrides: Optional[dict] = None,
     eval_overrides: Optional[dict] = None,
     select_metric: str = "mIoU",
+    select_overrides: Optional[dict] = None,
     save_dir: Optional[str] = None,
     verbose: bool = True,
 ) -> List[Dict]:
     """Run the full grid; returns one result dict per (variant, fold) plus a
     ``fold='mean'`` nanmean summary per variant. Writes ``sweep_summary.csv``
-    under ``save_dir`` when given."""
+    under ``save_dir`` when given.
+
+    ``select_overrides``: EvalConfig deltas applied ONLY to the best-epoch
+    SELECTION stage (the valid-split scoring), on top of ``eval_overrides``.
+    Crucial when reporting in-coverage metrics (``select_eval=True``):
+    selecting the best epoch by an in-coverage metric is DEGENERATE — an
+    undertrained selection head that rejects nearly every pixel leaves only
+    trivially-easy ones in coverage, so epoch 1 scores a meaningless ~1.0
+    and wins (measured; the reference hand-picked epochs from plain valid
+    curves instead, u-net_testing.ipynb cells 21-60). Pass
+    ``select_overrides={'select_eval': False}`` to select on
+    without-selection quality and still REPORT in-coverage."""
     variants = tuple(variants) if variants is not None else default_grid()
     train_overrides = dict(train_overrides or {})
     eval_overrides = dict(eval_overrides or {})
@@ -146,20 +158,34 @@ def run_sweep(
             e_kwargs.update(variant.eval_kw)
             e_kwargs.update(eval_overrides)
             e_cfg = EvalConfig(**e_kwargs)
+            s_kwargs = dict(e_kwargs)
+            s_kwargs.update(select_overrides or {})
+            s_cfg = EvalConfig(**s_kwargs)
 
             # best-epoch selection on the fold's VALIDATION split
             mesh = make_mesh(e_cfg.n_devices)
             _, valid_list = construct_train_valid(
                 v_data_dir, test_fold=fold, seed=t_cfg.seed
             )
-            valid_loader = make_eval_loader(e_cfg, mesh, data_list=valid_list)
+            valid_loader = make_eval_loader(s_cfg, mesh, data_list=valid_list)
             ckpts = sorted(list_checkpoints(ckpt_dir),
                            key=lambda p: _epoch_of(os.path.basename(p)))
             scored = []
             for ckpt in ckpts:
-                res = _eval_single_checkpoint(e_cfg, ckpt, valid_loader)
+                res = _eval_single_checkpoint(s_cfg, ckpt, valid_loader)
                 scored.append((_metric_scalar(res, select_metric), ckpt))
             best_score, best_ckpt = _pick_best(scored)
+            if not s_cfg.select_eval and any(
+                not np.isnan(s) and s > 0.999 for s, _ in scored
+            ) and t_cfg.selective:
+                # a without-selection score this perfect usually means the
+                # selection stage is not scoring what you think (e.g. a stale
+                # process racing this workdir, or in-coverage leakage) —
+                # surface it instead of silently reporting a degenerate pick
+                print(f"WARNING: near-perfect without-selection valid score "
+                      f"{max(s for s, _ in scored):.4f} for "
+                      f"{variant.name}/fold{fold} — verify the selection "
+                      f"stage", flush=True)
 
             # report the winner on the TEST split
             test_loader = make_eval_loader(e_cfg, mesh)
@@ -184,7 +210,8 @@ def run_sweep(
             if verbose:
                 print(f"[{variant.name} fold {fold}] best epoch "
                       f"{row['best_epoch']} valid_{select_metric}="
-                      f"{best_score:.4f} test mIoU={row['mIoU']:.4f}")
+                      f"{best_score:.4f} test mIoU={row['mIoU']:.4f}",
+                      flush=True)
 
         # per-variant nanmean summary (the notebook's aggregation)
         summary = {"variant": variant.name, "fold": "mean",
@@ -201,7 +228,7 @@ def run_sweep(
             ))
         rows.append(summary)
         if verbose:
-            print(f"[{variant.name} mean] mIoU={summary['mIoU']:.4f}")
+            print(f"[{variant.name} mean] mIoU={summary['mIoU']:.4f}", flush=True)
 
     if save_dir:
         header = ["variant", "fold", "best_epoch", "accuracy", "accuracy_class",
@@ -266,6 +293,9 @@ def main(argv=None) -> None:
             num_workers=args.num_workers,
         ),
         eval_overrides=dict(select_eval=args.select_eval),
+        # always select the best epoch on without-selection quality — the
+        # in-coverage metric is degenerate for selection (see run_sweep)
+        select_overrides=dict(select_eval=False),
         select_metric=args.select_metric,
         save_dir=args.save_dir,
     )

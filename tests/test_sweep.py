@@ -113,3 +113,43 @@ class TestPickBest:
         scored = [(float("nan"), "e1"), (float("nan"), "e2"), (float("nan"), "e3")]
         score, ckpt = _pick_best(scored)
         assert ckpt == "e3" and math.isnan(score)
+
+
+def test_selection_stage_uses_select_overrides(tmp_path, monkeypatch):
+    """In-coverage best-epoch selection is degenerate (an all-rejecting
+    epoch-1 head scores ~1.0 on the trivial residue and wins); run_sweep must
+    score the SELECTION stage with ``select_overrides`` (select_eval=False)
+    while still REPORTING the test stage with ``eval_overrides``."""
+    import selectivenet_for_semantic_segmentation_binary_tpu.tools.sweep as sweep_mod
+
+    data_dir = str(tmp_path / "data")
+    write_synthetic_patch_tree(data_dir, n_slides=2, patches_per_slide=12,
+                               patch_size=32, seed=13)
+    model_root = str(tmp_path / "models")
+    ckpt_dir = os.path.join(model_root, "baseline", "1-fold", "checkpoint")
+    os.makedirs(ckpt_dir)
+    for e in (1, 2):  # pre-made "checkpoints": training is skipped (done=2)
+        open(os.path.join(ckpt_dir, f"model_epoch{e}.ckpt"), "wb").close()
+
+    calls = []
+
+    def fake_eval(cfg, ckpt, loader):
+        calls.append(bool(cfg.select_eval))
+        return {"accuracy": 0.9, "accuracy_class": 0.9, "precision": [0.9],
+                "recall": [0.9], "f1_score": [0.9], "mIoU": 0.9,
+                "IoU_class": [0.9], "rejection_ratio": 0.5}
+
+    monkeypatch.setattr(sweep_mod, "_eval_single_checkpoint", fake_eval)
+    sweep_mod.run_sweep(
+        data_dir, model_root, folds=[1], variants=[Variant("baseline")],
+        train_overrides=dict(
+            model_arch="UNet_B", selective=True, loss="BCElogit",
+            n_epoch=2, batch_size=8, patch_size=32, num_workers=2,
+            compute_dtype="float32",
+        ),
+        eval_overrides=dict(select_eval=True),
+        select_overrides=dict(select_eval=False),
+        verbose=False,
+    )
+    # 2 selection-stage scorings (select_eval forced OFF) + 1 report (ON)
+    assert calls == [False, False, True]
