@@ -95,20 +95,39 @@ def main() -> None:
         save_dir=args.workdir,
     )
 
-    # 2. the same best checkpoints scored WITHOUT selection
+    # 2. the same best checkpoints scored WITHOUT selection (cached per cell:
+    # the grid process can be OOM-killed by the tunnel client's host-memory
+    # growth — every stage must be restartable)
     print("=== re-scoring best checkpoints w/o selection ===", flush=True)
+    wo_cache_path = os.path.join(args.workdir, "wo_rows.json")
+    try:
+        with open(wo_cache_path) as f:
+            wo_cache = json.load(f)
+    except (OSError, ValueError):
+        wo_cache = {}
     wo_rows = {}
     for row in sel_rows:
         if row["fold"] == "mean":
             continue
         v = by_name[row["variant"]]
+        key = f"{v.name}/{row['fold']}/{row['best_epoch']}"
+        if key in wo_cache:
+            wo_rows[(v.name, row["fold"])] = wo_cache[key]
+            continue
         ckpt_dir = os.path.join(sel_root, v.name, f"{row['fold']}-fold",
                                 "checkpoint")
         ckpt = os.path.join(ckpt_dir, f"model_epoch{row['best_epoch']}.ckpt")
         cfg = _eval_cfg(v.data_dir or data_dir, row["fold"], ckpt_dir, v,
                         select_eval=False, selective=True)
         res = _eval_single_checkpoint(cfg, ckpt, None)
+        res = {k: (np.asarray(val).tolist() if isinstance(val, np.ndarray)
+                   else float(val) if isinstance(val, (np.floating, float))
+                   else val)
+               for k, val in res.items() if k != "confusion_matrix"}
         wo_rows[(v.name, row["fold"])] = res
+        wo_cache[key] = res
+        with open(wo_cache_path, "w") as f:
+            json.dump(wo_cache, f)
         print(f"[{v.name} fold {row['fold']}] w/o selection "
               f"mIoU={res['mIoU']:.4f}", flush=True)
 

@@ -84,6 +84,29 @@ def _pick_best(scored: Sequence[Tuple[float, str]]) -> Tuple[float, str]:
     return scored[-1] if np.isnan(best[0]) else best
 
 
+def _load_row_cache(path: str, meta: Dict) -> Optional[Dict]:
+    """Load a completed-cell row if its cache matches ``meta`` exactly."""
+    import json
+
+    try:
+        with open(path) as f:
+            payload = json.load(f)
+    except (OSError, ValueError):
+        return None
+    if payload.get("meta") != meta:
+        return None
+    return payload["row"]
+
+
+def _save_row_cache(path: str, meta: Dict, row: Dict) -> None:
+    import json
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"meta": meta, "row": row}, f)
+    os.replace(tmp, path)
+
+
 def _eval_single_checkpoint(cfg: EvalConfig, ckpt_path: str, loader) -> Dict:
     """Score one specific checkpoint (evaluate() discovers every checkpoint in
     model_dir, so the file is linked alone into a temp dir)."""
@@ -138,7 +161,33 @@ def run_sweep(
                 data_dir=v_data_dir, fold=fold, model_dir=model_dir,
                 **{**variant.train_kw, **train_overrides},
             )
+            requested_epochs = int(t_cfg.n_epoch)
             ckpt_dir = os.path.join(model_dir, f"{fold}-fold", "checkpoint")
+
+            # Completed-cell cache: long grids are restartable at zero cost
+            # (a multi-hour run killed near the end — e.g. by the host OOM
+            # killer, observed at ~10 GB host RSS growth per cell over the
+            # TPU tunnel — resumes by reloading finished rows instead of
+            # re-scoring every checkpoint).
+            cache_path = os.path.join(model_dir, f"{fold}-fold",
+                                      "sweep_row.json")
+            cache_meta = {
+                "requested_epochs": requested_epochs,
+                "select_metric": select_metric,
+                "eval_overrides": {k: repr(v)
+                                   for k, v in sorted(eval_overrides.items())},
+                "select_overrides": {k: repr(v) for k, v in
+                                     sorted((select_overrides or {}).items())},
+            }
+            cached = _load_row_cache(cache_path, cache_meta)
+            if cached is not None:
+                per_fold.append(cached)
+                rows.append(cached)
+                if verbose:
+                    print(f"[{variant.name} fold {fold}] cached row "
+                          f"(best epoch {cached['best_epoch']}, test mIoU="
+                          f"{cached['mIoU']:.4f})", flush=True)
+                continue
             # Remaining epochs come from the digit-LATEST epoch, which is
             # where train() resumes — a file COUNT would overtrain whenever
             # the dir is non-contiguous (e.g. pruned by --keep_ckpt).
@@ -205,6 +254,7 @@ def run_sweep(
             }
             if "rejection_ratio" in results:
                 row["rejection_ratio"] = results["rejection_ratio"]
+            _save_row_cache(cache_path, cache_meta, row)
             per_fold.append(row)
             rows.append(row)
             if verbose:

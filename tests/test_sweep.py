@@ -115,6 +115,57 @@ class TestPickBest:
         assert ckpt == "e3" and math.isnan(score)
 
 
+def test_completed_cell_cache_skips_rescoring(tmp_path, monkeypatch):
+    """A finished (variant, fold) cell persists its row to sweep_row.json;
+    re-running the same grid must reload it without ANY checkpoint scoring
+    (long grids get OOM-killed by the tunnel client's host-memory growth and
+    must be restartable at zero cost), while changing the grid definition
+    (e.g. select_metric or eval overrides) must invalidate the cache."""
+    import selectivenet_for_semantic_segmentation_binary_tpu.tools.sweep as sweep_mod
+
+    data_dir = str(tmp_path / "data")
+    write_synthetic_patch_tree(data_dir, n_slides=2, patches_per_slide=12,
+                               patch_size=32, seed=14)
+    model_root = str(tmp_path / "models")
+    ckpt_dir = os.path.join(model_root, "baseline", "1-fold", "checkpoint")
+    os.makedirs(ckpt_dir)
+    for e in (1, 2):  # pre-made "checkpoints": training is skipped (done=2)
+        open(os.path.join(ckpt_dir, f"model_epoch{e}.ckpt"), "wb").close()
+
+    calls = []
+
+    def fake_eval(cfg, ckpt, loader):
+        calls.append(os.path.basename(ckpt))
+        return {"accuracy": 0.9, "accuracy_class": 0.9, "precision": [0.9],
+                "recall": [0.9], "f1_score": [0.9], "mIoU": 0.9,
+                "IoU_class": [0.9]}
+
+    monkeypatch.setattr(sweep_mod, "_eval_single_checkpoint", fake_eval)
+    kw = dict(
+        folds=[1], variants=[Variant("baseline")],
+        train_overrides=dict(
+            model_arch="UNet_B", selective=False, loss="BCElogit",
+            n_epoch=2, batch_size=8, patch_size=32, num_workers=2,
+            compute_dtype="float32",
+        ),
+        eval_overrides={}, verbose=False,
+    )
+    rows1 = sweep_mod.run_sweep(data_dir, model_root, **kw)
+    assert calls  # first run scored checkpoints
+    assert os.path.exists(os.path.join(
+        model_root, "baseline", "1-fold", "sweep_row.json"))
+
+    calls.clear()
+    rows2 = sweep_mod.run_sweep(data_dir, model_root, **kw)
+    assert calls == []  # cache hit: zero scoring
+    assert rows2 == rows1
+
+    # a different grid definition must NOT reuse the stale row
+    kw2 = {**kw, "eval_overrides": {"select_eval": False}}
+    sweep_mod.run_sweep(data_dir, model_root, **kw2)
+    assert calls  # meta mismatch -> re-scored
+
+
 def test_selection_stage_uses_select_overrides(tmp_path, monkeypatch):
     """In-coverage best-epoch selection is degenerate (an all-rejecting
     epoch-1 head scores ~1.0 on the trivial residue and wins); run_sweep must
