@@ -65,11 +65,15 @@ def torch_bias_init(fan_in: int):
 
 class LowPrecStatsBN(nn.Module):
     """BatchNorm whose BATCH statistics are computed in ``stats_dtype``
-    (bf16) instead of flax's always-float32 — a measured throughput lever:
-    the f32 stats path's convert+reduce fusions over full-resolution
-    activations are 24.5% of the train-step device profile (docs/RESULTS.md),
-    and computing them in bf16 removed ~6% of the whole fwd+bwd on the raw
-    trunk substrate (scripts/perf_round3.py).
+    (bf16) instead of flax's always-float32 — the documented-deviation
+    numeric experiment of the round-3 lever sweep. Measured outcome
+    (docs/RESULTS.md): the one-pass E[x²]-E[x]² prototype's +6%
+    (scripts/perf_round3.py) was a strawman vs a substrate that normalized in
+    f32, AND is numerically disqualified (bf16 cancellation zeroes the
+    variance once |mean|/std >= ~16); this module ships the SAFE two-pass
+    centered variance, whose extra activation pass measured NEGATIVE end to
+    end (438.67 vs 474 p/s on the real step) — which is why ``float32``
+    stays the default and this stays an option.
 
     Parameter/batch_stats tree (names, shapes, f32 storage) is IDENTICAL to
     ``nn.BatchNorm`` so checkpoints interchange freely; eval mode (running
@@ -540,6 +544,12 @@ def build_model(
     dtype = jnp.dtype(compute_dtype)
     if folded and fused:
         raise ValueError("folded serving graph and fused training trunk are exclusive")
+    if fused and bn_stats != "float32":
+        # the fused trunk has no LowPrecStatsBN path; silently training
+        # f32-stats while the flag says bfloat16 would corrupt experiment
+        # conclusions, so refuse the combination outright
+        raise ValueError("bn_stats is not implemented by the fused trunk; "
+                         "use bn_stats='float32' or fused=False")
     if model_arch == "UNet_B":
         return UNetB(selective=selective, dtype=dtype, dropout_rate=dropout_rate,
                      folded=folded, fused=fused, fused_interpret=fused_interpret,

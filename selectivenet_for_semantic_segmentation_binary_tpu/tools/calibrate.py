@@ -182,6 +182,10 @@ def risk_coverage_curve(cfg: EvalConfig, data_list=None,
     needing both never run the split twice."""
     from ..eval_lib import make_eval_loader
 
+    # a fleet runs this on every host; only host 0 may write/print (same
+    # discipline as eval_lib's CSV export) — concurrent open('w') on a shared
+    # filesystem tears the file
+    verbose = verbose and jax.process_index() == 0
     mesh, model, variables = _load_single(cfg, verbose)
     loader = make_eval_loader(cfg, mesh, data_list=data_list)
     hist2d = _accumulate(loader, variables, make_rc_histogram_step(model, cfg))
@@ -190,7 +194,7 @@ def risk_coverage_curve(cfg: EvalConfig, data_list=None,
     curve["threshold"] = _to_eval_space(curve["threshold"], single_scale)
     curve["histogram2d"] = hist2d
 
-    if csv_path:
+    if csv_path and jax.process_index() == 0:
         import csv as _csv
         import os as _os
 
@@ -242,6 +246,7 @@ def calibrate(cfg: EvalConfig, target_coverage: float = 0.8,
     untouched, the methodologically clean choice)."""
     from ..eval_lib import make_eval_loader
 
+    verbose = verbose and jax.process_index() == 0  # one report per fleet
     mesh, model, variables = _load_single(cfg, verbose)
     loader = make_eval_loader(cfg, mesh, data_list=data_list)
     hist = _accumulate(loader, variables, make_histogram_step(model, cfg.n_cls))
@@ -252,6 +257,7 @@ def calibrate(cfg: EvalConfig, target_coverage: float = 0.8,
 
 def _finish_calibration(hist: np.ndarray, target_coverage: float,
                         single_scale: str, verbose: bool) -> Dict[str, float]:
+    verbose = verbose and jax.process_index() == 0  # one report per fleet
     res = threshold_for_coverage(hist, target_coverage)
     res["s_cut_off"] = _to_eval_space(res["s_cut_off"], single_scale)
     res["space"] = "sigmoid" if single_scale == "sigmoid" else "logit"

@@ -32,6 +32,7 @@ import tempfile
 from dataclasses import dataclass, field, replace
 from typing import Dict, List, Optional, Sequence, Tuple
 
+import jax
 import numpy as np
 
 from ..config import EvalConfig, TrainConfig
@@ -101,10 +102,39 @@ def _load_row_cache(path: str, meta: Dict) -> Optional[Dict]:
 def _save_row_cache(path: str, meta: Dict, row: Dict) -> None:
     import json
 
-    tmp = path + ".tmp"
+    if jax.process_index() != 0:
+        return  # one writer per fleet (same discipline as checkpoints/CSVs)
+    tmp = f"{path}.{os.getpid()}.tmp"  # unique tmp: two grids can share a root
     with open(tmp, "w") as f:
         json.dump({"meta": meta, "row": row}, f)
     os.replace(tmp, path)
+
+
+def _fleet_cache_decision(path: str, meta: Dict,
+                          local_row: Optional[Dict]) -> Optional[Dict]:
+    """Make the cache hit/miss branch fleet-coherent.
+
+    The miss branch runs train()/evaluate() collectives, so processes
+    disagreeing on hit vs miss (shared-filesystem attribute staleness) would
+    deadlock the fleet. Host 0's read is authoritative: its decision is
+    broadcast; a host told "hit" that cannot read the row itself retries
+    briefly, then fails loudly instead of desynchronizing."""
+    import time
+
+    from jax.experimental import multihost_utils
+
+    hit = multihost_utils.broadcast_one_to_all(
+        np.asarray(local_row is not None, np.int32))
+    if not bool(hit):
+        return None
+    for _ in range(20):
+        if local_row is not None:
+            return local_row
+        time.sleep(0.5)
+        local_row = _load_row_cache(path, meta)
+    raise RuntimeError(
+        f"fleet cache desync: host 0 reports a completed row at {path} but "
+        f"it is unreadable on process {jax.process_index()}")
 
 
 def _eval_single_checkpoint(cfg: EvalConfig, ckpt_path: str, loader) -> Dict:
@@ -178,8 +208,15 @@ def run_sweep(
                                    for k, v in sorted(eval_overrides.items())},
                 "select_overrides": {k: repr(v) for k, v in
                                      sorted((select_overrides or {}).items())},
+                # a same-named variant redefined with different eval settings
+                # or a swapped dataset must invalidate, not silently reuse
+                "variant_eval_kw": {k: repr(v) for k, v in
+                                    sorted(variant.eval_kw.items())},
+                "data_dir": v_data_dir,
             }
             cached = _load_row_cache(cache_path, cache_meta)
+            if jax.process_count() > 1:
+                cached = _fleet_cache_decision(cache_path, cache_meta, cached)
             if cached is not None:
                 per_fold.append(cached)
                 rows.append(cached)
@@ -280,7 +317,7 @@ def run_sweep(
         if verbose:
             print(f"[{variant.name} mean] mIoU={summary['mIoU']:.4f}", flush=True)
 
-    if save_dir:
+    if save_dir and jax.process_index() == 0:  # one CSV writer per fleet
         header = ["variant", "fold", "best_epoch", "accuracy", "accuracy_class",
                   "precision", "recall", "f1_score", "mIoU", "IoU_class",
                   "rejection_ratio"]

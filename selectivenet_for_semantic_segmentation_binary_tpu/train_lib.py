@@ -619,21 +619,37 @@ def train(cfg: TrainConfig, loaders=None, verbose: bool = True) -> Dict[str, Any
                         % (va.aux_loss, va.sel_loss, va.rejection)
                     )
 
+            ckpt_error: Optional[BaseException] = None
             if is_writer:
-                host_state = jax.device_get(state)
-                payload = {
-                    "net": {"params": host_state.params, "batch_stats": host_state.batch_stats},
-                    "optim": _opt_state_dict(host_state.opt_state),
-                    "scheduler": scheduler.state_dict(),
-                    "epoch": epoch,
-                }
-                keep = cfg.keep_ckpt
-                if ckpt_writer is not None:
-                    ckpt_writer.save(cfg.ckpt_dir, payload, epoch, keep=keep)
-                else:
-                    save_checkpoint(cfg.ckpt_dir, payload, epoch)
-                    prune_checkpoints(cfg.ckpt_dir, keep)
+                try:
+                    host_state = jax.device_get(state)
+                    payload = {
+                        "net": {"params": host_state.params, "batch_stats": host_state.batch_stats},
+                        "optim": _opt_state_dict(host_state.opt_state),
+                        "scheduler": scheduler.state_dict(),
+                        "epoch": epoch,
+                    }
+                    keep = cfg.keep_ckpt
+                    if ckpt_writer is not None:
+                        ckpt_writer.save(cfg.ckpt_dir, payload, epoch, keep=keep)
+                    else:
+                        save_checkpoint(cfg.ckpt_dir, payload, epoch)
+                        prune_checkpoints(cfg.ckpt_dir, keep)
+                except Exception as e:  # noqa: BLE001 — relayed fleet-wide below
+                    ckpt_error = e
+            _fleet_checkpoint_agreement(ckpt_error)
             final = {"epoch": epoch, "train": tr, "valid": va, "state": state}
+
+        # join the FINAL epoch's in-flight async write inside the agreement
+        # protocol too, so a write error on host 0 aborts every process
+        # instead of stranding the others at the end-of-train barrier
+        join_error: Optional[BaseException] = None
+        if ckpt_writer is not None:
+            try:
+                ckpt_writer.wait()
+            except Exception as e:  # noqa: BLE001
+                join_error = e
+        _fleet_checkpoint_agreement(join_error)
 
     finally:
         # join the in-flight async write even on error/interrupt, so an
@@ -650,6 +666,29 @@ def train(cfg: TrainConfig, loaders=None, verbose: bool = True) -> Dict[str, Any
 
         multihost_utils.sync_global_devices("snet_train_done")
     return final
+
+
+def _fleet_checkpoint_agreement(error: Optional[BaseException]) -> None:
+    """Fleet-wide agreement that the writer host's checkpoint landed.
+
+    Checkpoints are written by host 0 only; without this, a write failure
+    there (disk full, unwritable mount) kills host 0 with an exception while
+    hosts 1..N — which saw no error — block forever in the next epoch's
+    collectives. Every process contributes an ok flag (one tiny allgather per
+    epoch, multi-process only); any failure raises on ALL hosts, so the fleet
+    dies loudly together exactly like the old every-host-writes behavior."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        ok = multihost_utils.process_allgather(
+            np.asarray(error is None, np.int32))
+        if int(np.min(ok)) == 0:
+            if error is not None:
+                raise error
+            raise RuntimeError(
+                "checkpoint write failed on the writer host; aborting fleet")
+    elif error is not None:
+        raise error
 
 
 def _opt_state_dict(opt_state):

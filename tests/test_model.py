@@ -130,6 +130,14 @@ class TestBuildModel:
         with pytest.raises(ValueError):
             build_model("ResNet")
 
+    def test_incompatible_trunk_combinations_raise(self):
+        with pytest.raises(ValueError, match="exclusive"):
+            build_model("UNet_B", folded=True, fused=True)
+        # the fused trunk has no LowPrecStatsBN path — silently training
+        # f32 stats under a bfloat16 flag would corrupt experiment results
+        with pytest.raises(ValueError, match="bn_stats"):
+            build_model("UNet_B", fused=True, bn_stats="bfloat16")
+
     def test_bfloat16_compute_keeps_fp32_output(self):
         model = build_model("UNet_B", compute_dtype="bfloat16")
         variables = init_model(model)

@@ -24,6 +24,7 @@ from selectivenet_for_semantic_segmentation_binary_tpu.data import (
 
 _WORKER = os.path.join(os.path.dirname(__file__), "_multihost_worker.py")
 _ENTRY_WORKER = os.path.join(os.path.dirname(__file__), "_multihost_entry_worker.py")
+_FAIL_WORKER = os.path.join(os.path.dirname(__file__), "_multihost_fail_worker.py")
 
 
 def _free_port() -> int:
@@ -73,6 +74,42 @@ def test_two_process_fleet_matches_single_process(tmp_path):
                                rtol=1e-3, atol=1e-5)
     np.testing.assert_allclose(multi["coverages"], single["coverages"],
                                rtol=1e-3, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_writer_host_checkpoint_failure_aborts_whole_fleet(tmp_path):
+    """Host 0 is the only checkpoint writer; if its write fails, the per-epoch
+    fleet agreement (train_lib._fleet_checkpoint_agreement) must abort EVERY
+    process promptly — before it, hosts 1..N hung forever in the next epoch's
+    collectives while host 0 died alone."""
+    data_dir = str(tmp_path / "data")
+    write_synthetic_patch_tree(data_dir, n_slides=3, patches_per_slide=12,
+                               patch_size=32, seed=5)
+    model_dir = str(tmp_path / "model")
+    # a regular FILE where the checkpoint DIRECTORY belongs: save_checkpoint's
+    # makedirs raises even for root (chmod-based sabotage would not)
+    os.makedirs(os.path.join(model_dir, "1-fold"))
+    open(os.path.join(model_dir, "1-fold", "checkpoint"), "w").close()
+
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, _FAIL_WORKER, str(pid), "2", str(port),
+             data_dir, model_dir, str(tmp_path / "out.json")],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+        )
+        for pid in range(2)
+    ]
+    # the old behavior is an indefinite hang of worker 1 — the timeout IS the
+    # regression detector
+    outs = [p.communicate(timeout=600)[0].decode() for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode not in (0, 17), f"worker did not fail:\n{out[-2000:]}"
+    assert "checkpoint" in (outs[0] + outs[1]).lower()
 
 
 @pytest.mark.slow

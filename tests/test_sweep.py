@@ -165,6 +165,23 @@ def test_completed_cell_cache_skips_rescoring(tmp_path, monkeypatch):
     sweep_mod.run_sweep(data_dir, model_root, **kw2)
     assert calls  # meta mismatch -> re-scored
 
+    # ... nor may a SAME-NAMED variant redefined with different eval settings
+    sweep_mod.run_sweep(data_dir, model_root, **kw)  # restore the kw row
+    calls.clear()
+    kw3 = {**kw, "variants": [Variant("baseline",
+                                      eval_kw={"blankfield": True})]}
+    sweep_mod.run_sweep(data_dir, model_root, **kw3)
+    assert calls  # variant_eval_kw mismatch -> re-scored
+
+    # ... nor a swapped dataset (same fold/variant names, different data)
+    data_dir2 = str(tmp_path / "data2")
+    write_synthetic_patch_tree(data_dir2, n_slides=2, patches_per_slide=12,
+                               patch_size=32, seed=15)
+    sweep_mod.run_sweep(data_dir, model_root, **kw)  # restore the kw row
+    calls.clear()
+    sweep_mod.run_sweep(data_dir2, model_root, **kw)
+    assert calls  # data_dir mismatch -> re-scored
+
 
 def test_selection_stage_uses_select_overrides(tmp_path, monkeypatch):
     """In-coverage best-epoch selection is degenerate (an all-rejecting

@@ -183,3 +183,17 @@ class TestSchedulerResume:
         # loss actually kept improving
         assert sched.lr <= cfg.lr
         assert sched.last_epoch == 3
+
+
+def test_fleet_checkpoint_agreement_single_process():
+    """Single-process degenerate case of the per-epoch fleet agreement: a
+    captured writer error re-raises locally, no error is a no-op (the
+    multi-process abort path is pinned by
+    test_multihost.py::test_writer_host_checkpoint_failure_aborts_whole_fleet)."""
+    from selectivenet_for_semantic_segmentation_binary_tpu.train_lib import (
+        _fleet_checkpoint_agreement,
+    )
+
+    _fleet_checkpoint_agreement(None)
+    with pytest.raises(OSError, match="disk full"):
+        _fleet_checkpoint_agreement(OSError("disk full"))
