@@ -77,6 +77,59 @@ def test_two_process_fleet_matches_single_process(tmp_path):
 
 
 @pytest.mark.slow
+def test_sweep_and_calibrate_fleet_semantics(tmp_path):
+    """The tools layer under a REAL 2-process fleet: run_sweep's broadcast
+    cache hit/miss decision (_fleet_cache_decision), host-0-only row-cache /
+    CSV writes, and snet-calibrate's host-0-only curve CSV. A warm rerun must
+    re-score NOTHING on ANY process, and sweep rows + calibrated thresholds
+    must be identical across processes."""
+    data_dir = str(tmp_path / "data")
+    write_synthetic_patch_tree(data_dir, n_slides=3, patches_per_slide=12,
+                               patch_size=32, seed=5)
+    model_root = str(tmp_path / "models")
+    out = str(tmp_path / "out.json")
+
+    worker = os.path.join(os.path.dirname(__file__), "_multihost_sweep_worker.py")
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", str(port),
+             data_dir, model_root, out],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=900)[0].decode() for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{o[-3000:]}"
+
+    with open(out + ".0") as f:
+        r0 = json.load(f)
+    with open(out + ".1") as f:
+        r1 = json.load(f)
+
+    # warm run: the broadcast hit branch taken by BOTH processes, zero scoring
+    assert r0["cold_calls"] > 0 and r1["cold_calls"] > 0
+    assert r0["warm_calls"] == 0 and r1["warm_calls"] == 0
+    assert r0["rows_warm"] == r0["rows_cold"]
+    # cross-process equality of rows and calibrated threshold
+    assert r0["rows_cold"] == r1["rows_cold"]
+    assert r0["s_cut_off"] == r1["s_cut_off"]
+    assert r0["achieved_coverage"] == r1["achieved_coverage"]
+    # host-0-only writes actually landed (row cache, sweep CSV, curve CSV)
+    assert os.path.exists(os.path.join(model_root, "baseline", "1-fold",
+                                       "sweep_row.json"))
+    assert os.path.exists(os.path.join(model_root, "sweep_summary.csv"))
+    with open(os.path.join(model_root, "curve.csv")) as f:
+        lines = f.read().strip().splitlines()
+    assert lines[0].startswith("s_cut_off") and len(lines) == 4097
+
+
+@pytest.mark.slow
 def test_writer_host_checkpoint_failure_aborts_whole_fleet(tmp_path):
     """Host 0 is the only checkpoint writer; if its write fails, the per-epoch
     fleet agreement (train_lib._fleet_checkpoint_agreement) must abort EVERY
