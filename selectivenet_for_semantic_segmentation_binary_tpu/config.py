@@ -137,7 +137,11 @@ class EvalConfig:
 
     local_rank: List[int] = field(default_factory=lambda: [0])
     info_print: bool = False
-    save_dir: str = "./output"
+    # reference eval.py:57 defaults this to './output', but only to feed its
+    # broken dead-code CSV helper; here ANY explicitly-set value writes the
+    # metric CSV, so the unset state must be None — a "default-path" sentinel
+    # would silently swallow a user explicitly asking for ./output
+    save_dir: Optional[str] = None
 
     # --- TPU-native extensions ---
     compute_dtype: str = "bfloat16"

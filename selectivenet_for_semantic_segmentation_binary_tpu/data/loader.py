@@ -78,6 +78,17 @@ class PatchLoader:
             raise ValueError("batch_size must be divisible by process_count")
         if device_preproc and not hasattr(dataset, "get_raw"):
             raise ValueError("device_preproc requires a dataset with get_raw()")
+        # Decide ONCE whether __getitem__ accepts the deterministic rng; a
+        # call-time `except TypeError` would also swallow TypeErrors raised
+        # INSIDE the dataset/transform and silently re-run them with a fresh
+        # global rng, breaking the (seed, epoch, index) determinism contract.
+        import inspect
+
+        try:
+            sig = inspect.signature(dataset.__getitem__)
+            self._pass_rng = "rng" in sig.parameters
+        except (TypeError, ValueError):  # builtins without introspection
+            self._pass_rng = False
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -107,10 +118,9 @@ class PatchLoader:
                 sid = str(index)
             return {"input": inp, "label": lab, "flips": flips.astype(np.uint8),
                     "id": sid}
-        try:
+        if self._pass_rng:
             return self.dataset.__getitem__(int(index), rng=rng)
-        except TypeError:
-            return self.dataset[int(index)]
+        return self.dataset[int(index)]
 
     def _assemble(self, pool: ThreadPoolExecutor, indices: np.ndarray):
         nvalid = len(indices)  # global count of real samples in this batch

@@ -341,8 +341,7 @@ def evaluate(cfg: EvalConfig, loader: Optional[PatchLoader] = None,
     # --save_dir: persist the metric block as CSV (the reference declares the
     # flag but its CSV helper is broken dead code, eval.py:67-74). Fleet runs:
     # every process computes identical metrics; host 0 writes.
-    if (getattr(cfg, "save_dir", None) and cfg.save_dir != "./output"
-            and jax.process_index() == 0):
+    if getattr(cfg, "save_dir", None) and jax.process_index() == 0:
         from .tools.wsi import save_performance_as_csv
 
         fmt = lambda a: " ".join(f"{float(v):.6f}" for v in np.atleast_1d(a))

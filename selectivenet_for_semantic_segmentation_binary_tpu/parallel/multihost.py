@@ -25,18 +25,46 @@ import jax
 import numpy as np
 
 
+# Environment markers that mean "this process was launched as part of a
+# managed fleet" — if any is set, a failed jax.distributed.initialize() is a
+# REAL error, not a benign single-machine run. Silently degrading to
+# process_count()==1 there would make every host think it is the writer
+# (host-0-only checkpoint/CSV discipline), producing concurrent same-path
+# writes.
+_FLEET_ENV_MARKERS = (
+    "JAX_COORDINATOR_ADDRESS",
+    "COORDINATOR_ADDRESS",
+    "MEGASCALE_COORDINATOR_ADDRESS",
+    "SLURM_JOB_ID",
+    "OMPI_COMM_WORLD_SIZE",
+    "PMI_SIZE",
+    # NOT TPU_WORKER_HOSTNAMES: single-chip TPU-VM tunnels set it
+    # (=localhost) without the rest of the pod metadata, so jax's auto-init
+    # raises even though no fleet exists (observed on the axon tunnel);
+    # a REAL pod's cluster plugin auto-init succeeds and never reaches the
+    # except branch at all
+)
+
+
 def initialize(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
 ) -> None:
     """jax.distributed.initialize wrapper; no-op when single-process args are
-    absent and no cluster env (TPU pod metadata) is detected."""
+    absent and no cluster env (TPU pod metadata / SLURM / MPI) is detected.
+    When a fleet launcher's environment IS present, init failures propagate —
+    a transient coordinator error must abort the process, not silently run it
+    single-process alongside N-1 fleet peers."""
+    import os
+
     if coordinator_address is None and num_processes is None:
         try:
             jax.distributed.initialize()
         except Exception:
-            return  # not a managed TPU-pod environment: stay single-process
+            if any(os.environ.get(k) for k in _FLEET_ENV_MARKERS):
+                raise
+            return  # not a managed fleet environment: stay single-process
     else:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

@@ -35,7 +35,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import jax
 import numpy as np
 
-from ..config import EvalConfig, TrainConfig
+from ..config import EvalConfig, TrainConfig, parse_bool
 from ..data import construct_train_valid
 from ..eval_lib import evaluate, make_eval_loader
 from ..parallel.mesh import make_mesh
@@ -208,10 +208,15 @@ def run_sweep(
                                    for k, v in sorted(eval_overrides.items())},
                 "select_overrides": {k: repr(v) for k, v in
                                      sorted((select_overrides or {}).items())},
-                # a same-named variant redefined with different eval settings
-                # or a swapped dataset must invalidate, not silently reuse
+                # a same-named variant redefined with different settings, a
+                # changed training recipe (e.g. --selective flipped on the
+                # same model_root), or a swapped dataset must all invalidate,
+                # not silently reuse
                 "variant_eval_kw": {k: repr(v) for k, v in
                                     sorted(variant.eval_kw.items())},
+                "train_kw": {k: repr(v) for k, v in
+                             sorted({**variant.train_kw,
+                                     **train_overrides}.items())},
                 "data_dir": v_data_dir,
             }
             cached = _load_row_cache(cache_path, cache_meta)
@@ -228,7 +233,10 @@ def run_sweep(
             # Remaining epochs come from the digit-LATEST epoch, which is
             # where train() resumes — a file COUNT would overtrain whenever
             # the dir is non-contiguous (e.g. pruned by --keep_ckpt).
-            latest = latest_checkpoint(ckpt_dir)
+            # verify=False: only the epoch NUMBER is needed here; a full
+            # loadability parse per cell is the dominant host cost of grid
+            # resume probing (a corrupt file still fails loudly at scoring)
+            latest = latest_checkpoint(ckpt_dir, verify=False)
             done = latest[1] if latest else 0
             if done < t_cfg.n_epoch:  # auto-resume fills the remainder
                 t_cfg = replace(t_cfg, n_epoch=t_cfg.n_epoch - done)
@@ -351,10 +359,8 @@ def main(argv=None) -> None:
                         default=[v.name for v in default_grid()],
                         help="subset of: " + " ".join(v.name for v in default_grid()))
     parser.add_argument("--model_arch", default="UNet_B")
-    parser.add_argument("--selective", type=lambda s: s not in ("0", "False", ""),
-                        default=False)
-    parser.add_argument("--select_eval", type=lambda s: s not in ("0", "False", ""),
-                        default=False)
+    parser.add_argument("--selective", type=parse_bool, default=False)
+    parser.add_argument("--select_eval", type=parse_bool, default=False)
     parser.add_argument("--loss", default="BCElogit")
     parser.add_argument("--n_epoch", type=int, default=100)
     parser.add_argument("--batch_size", type=int, default=128)

@@ -58,9 +58,10 @@ def tiled_inference(
     """Exact full-image forward of a fully-convolutional NHWC model.
 
     Args:
-        apply_fn: (N, h, w, C) -> (N, h, w) or a tuple of such maps (the
-            selective three-head forward); must be shape-polymorphic (the
-            UNet models are).
+        apply_fn: (N, h, w, C) -> (N, h, w) or (N, h, w, K) maps, or a tuple
+            of such (the selective three-head forward); must be
+            shape-polymorphic (the UNet models are). Trailing channel dims
+            (the CE-head UNet's K=n_cls planes) are preserved in the output.
         image: (H, W, C) float input, H and W divisible by 8.
         tile: output chunk size per window (each dim divisible by 8).
         halo: overlap margin, >= RECEPTIVE_RADIUS + 8 alignment slack.
@@ -123,7 +124,11 @@ def tiled_inference(
         outs = out if is_tuple else (out,)
         if outputs is None:
             n_outputs = len(outs)
-            outputs = [np.zeros((H, W), np.asarray(outs[0]).dtype) for _ in range(n_outputs)]
+            # (H, W) plus any trailing channel dims (CE heads emit (N,h,w,K))
+            outputs = [
+                np.zeros((H, W) + np.asarray(o).shape[3:], np.asarray(o).dtype)
+                for o in outs
+            ]
             as_tuple = is_tuple
         for k in range(n_outputs):
             host = np.asarray(outs[k])
@@ -164,9 +169,18 @@ def wsi_mask(
 
     outs = tiled_inference(apply_fn, jnp.asarray(x), tile, halo, batch_size,
                            mesh=mesh)
-    prob = 1.0 / (1.0 + np.exp(-outs[0]))
+    prob = _tumor_prob(outs[0])
     result = {"prob": prob, "pred": (prob > cut_off).astype(np.uint8)}
     if selective and len(outs) >= 2:
-        sel_prob = 1.0 / (1.0 + np.exp(-outs[1]))
+        sel_prob = _tumor_prob(outs[1])
         result["selection"] = (sel_prob > s_cut_off).astype(np.uint8)
     return result
+
+
+def _tumor_prob(logits: np.ndarray) -> np.ndarray:
+    """(H, W) logits -> sigmoid; (H, W, K) CE-head logits -> softmax class-1
+    plane (the tumor class, reference eval.py:227-233 convention)."""
+    if logits.ndim == 2:
+        return 1.0 / (1.0 + np.exp(-logits))
+    e = np.exp(logits - logits.max(-1, keepdims=True))
+    return (e / e.sum(-1, keepdims=True))[..., 1]

@@ -85,6 +85,21 @@ def _wsi_forward(model, variables, x, selective: bool):
     return jax.nn.sigmoid(out) if out.ndim == 3 else jax.nn.softmax(out, -1)[..., 1]
 
 
+def _find_normalization(transform):
+    """The Normalization instance inside ``transform`` (Compose or single),
+    or None — wsi_inference must not re-normalize a dataset whose own
+    transform chain already did (x - mean) / std."""
+    from ..data.transforms import Normalization
+
+    if transform is None:
+        return None
+    chain = getattr(transform, "transforms", [transform])
+    for t in chain:
+        if isinstance(t, Normalization):
+            return t
+    return None
+
+
 def _group_by_slide(ids: List[str]) -> Dict[str, List[int]]:
     groups: Dict[str, List[int]] = {}
     for i, pid in enumerate(ids):
@@ -145,7 +160,15 @@ def wsi_inference(
             samples = list(pool.map(dataset.__getitem__, indices))
             inputs = np.stack([s["input"] for s in samples])
             labels = np.stack([s["label"] for s in samples])
-            feed = (inputs - 0.5) / 0.5
+            norm = _find_normalization(getattr(dataset, "transform", None))
+            if norm is not None:
+                # the dataset's own transform already normalized: feed as-is,
+                # and invert it for the [0,1] display canvas (re-normalizing
+                # here would feed the net (x-mean)/std applied twice)
+                feed = inputs
+                inputs = np.clip(inputs * norm.std + norm.mean, 0.0, 1.0)
+            else:
+                feed = (inputs - 0.5) / 0.5
 
         # dispatch every batch before fetching any: jax dispatch is async, so
         # batch i+1's H2D/compute overlaps batch i's D2H fetch

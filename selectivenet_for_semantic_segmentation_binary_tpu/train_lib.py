@@ -50,13 +50,12 @@ from .ops import (
     selective_risk_ce,
     softmax_cross_entropy,
 )
-from .ops.confusion import confusion_matrix_update
+from .ops.confusion import PAD_LABEL, confusion_matrix_update
 from .optim import build_optimizer, build_scheduler
 from .parallel.mesh import batch_sharding, make_mesh, replicate
 from .utils.checkpoint import (
     AsyncCheckpointWriter,
-    latest_checkpoint,
-    load_checkpoint,
+    load_latest_checkpoint,
     load_net_checkpoint,
     prune_checkpoints,
     save_checkpoint,
@@ -319,16 +318,15 @@ def restore_if_available(
     saved scheduler state (if any) so loss-dependent schedules like ReduceLR
     resume with their lr/best/bad-epoch counters instead of restarting at lr0.
     """
-    found = latest_checkpoint(cfg.ckpt_dir)
+    found = load_latest_checkpoint(cfg.ckpt_dir)
     if found is None:
         return state, 0, None
-    path, epoch = found
+    path, epoch, ckpt = found
     sched_state = None
-    if path.endswith(".pth"):
+    if ckpt is None:  # .pth: torch interchange, re-mapped below
         net = load_net_checkpoint(path)
         state = state.replace(params=net["params"], batch_stats=net["batch_stats"])
     else:
-        ckpt = load_checkpoint(path)
         state = state.replace(
             params=ckpt["net"]["params"], batch_stats=ckpt["net"]["batch_stats"]
         )
@@ -434,6 +432,9 @@ def _log_epoch_images(writer, cfg, batch, metrics, epoch):
                 inp[i] = inp[i][::-1]
                 label[i] = label[i][::-1]
     writer.add_images("input", inp, epoch)
+    # PAD_LABEL=255 rows of a padded partial batch would wrap under the
+    # uint8 *255 scaling (255*255 -> 1); render padding as background
+    label = np.where(label == PAD_LABEL, 0, label)
     writer.add_images("label", np.expand_dims((label * 255).astype(np.uint8), -1), epoch)
     if "pred" in metrics:
         pred = np.asarray(jax.device_get(metrics["pred"]))[:5]
@@ -571,11 +572,16 @@ def train(cfg: TrainConfig, loaders=None, verbose: bool = True) -> Dict[str, Any
             profiling = cfg.profile_dir is not None and epoch == start_epoch + 2
             if profiling:
                 jax.profiler.start_trace(cfg.profile_dir)
-            state, tr, tr_batch, tr_metrics = _run_epoch(
-                cfg, loader_train, train_step, state, current_lr, epoch_rng, train=True
-            )
-            if profiling:
-                jax.profiler.stop_trace()
+            try:
+                state, tr, tr_batch, tr_metrics = _run_epoch(
+                    cfg, loader_train, train_step, state, current_lr, epoch_rng, train=True
+                )
+            finally:
+                # flush the trace even when the profiled epoch dies — the
+                # partial profile is the most useful debugging artifact, and
+                # a dangling start_trace poisons any later trace attempt
+                if profiling:
+                    jax.profiler.stop_trace()
 
             if cfg.lr_sche is not None:
                 scheduler.step(tr.loss if cfg.lr_sche == "ReduceLR" else None)
@@ -652,13 +658,16 @@ def train(cfg: TrainConfig, loaders=None, verbose: bool = True) -> Dict[str, Any
         _fleet_checkpoint_agreement(join_error)
 
     finally:
-        # join the in-flight async write even on error/interrupt, so an
-        # issued epoch-N save always lands and stored write errors surface
-        if ckpt_writer is not None:
-            ckpt_writer.wait()
+        # flush TB event files and join the in-flight async write even on
+        # error/interrupt, so an issued epoch-N save always lands and stored
+        # write errors surface
+        try:
+            writer_train.close()
+            writer_valid.close()
+        finally:
+            if ckpt_writer is not None:
+                ckpt_writer.wait()
 
-    writer_train.close()
-    writer_valid.close()
     if jax.process_count() > 1:
         # fleet barrier: returning means "checkpoints durable" on every host,
         # so a follow-on evaluate() cannot race host 0's final epoch write

@@ -131,7 +131,7 @@ def _epoch_of(filename: str) -> int:
     return int(digits) if digits else -1
 
 
-def latest_checkpoint(ckpt_dir: str) -> Optional[Tuple[str, int]]:
+def latest_checkpoint(ckpt_dir: str, verify: bool = True) -> Optional[Tuple[str, int]]:
     """Newest *loadable* checkpoint by digit-sorted filename (net_utils.py:18-24).
 
     Accepts both native .ckpt files and reference .pth files so a model
@@ -141,15 +141,48 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[Tuple[str, int]]:
     e.g. a run killed mid-write before the atomic rename existed, or disk
     truncation — fall back to the next older checkpoint instead of refusing
     to resume, so "rerun the same command" always recovers.
-    """
+
+    ``verify=False`` skips the loadability probe (a FULL deserialization of
+    a possibly multi-hundred-MB file) and just picks the digit-latest name —
+    for callers that only need the epoch number (e.g. the sweep's
+    remaining-epochs check); a corrupt file then surfaces loudly at load
+    time instead of being silently skipped. Callers that will load the
+    winner immediately should use ``load_latest_checkpoint`` (one parse)
+    rather than verify + reload (two)."""
     if not os.path.isdir(ckpt_dir):
         return None
     files = [f for f in os.listdir(ckpt_dir) if f.endswith((".ckpt", ".pth"))]
     files.sort(key=_epoch_of)
     for name in reversed(files):
         path = os.path.join(ckpt_dir, name)
-        if _loadable(path):
+        if not verify or _loadable(path):
             return path, _epoch_of(name)
+        print(f"skipping unreadable checkpoint {path}")
+    return None
+
+
+def load_latest_checkpoint(ckpt_dir: str):
+    """Newest loadable checkpoint, parsed ONCE.
+
+    Returns ``(path, epoch, payload)`` — ``payload`` is the parsed .ckpt
+    dict, or None for a .pth (torch-interchange callers re-map those via
+    load_net_checkpoint) — or None when nothing loadable exists. Same
+    corrupt-newest fallback as latest_checkpoint, without the
+    verify-then-reload double full parse on the resume path."""
+    if not os.path.isdir(ckpt_dir):
+        return None
+    files = [f for f in os.listdir(ckpt_dir) if f.endswith((".ckpt", ".pth"))]
+    files.sort(key=_epoch_of)
+    for name in reversed(files):
+        path = os.path.join(ckpt_dir, name)
+        if path.endswith(".pth"):
+            if _loadable(path):
+                return path, _epoch_of(name), None
+        else:
+            try:
+                return path, _epoch_of(name), load_checkpoint(path)
+            except Exception:
+                pass
         print(f"skipping unreadable checkpoint {path}")
     return None
 

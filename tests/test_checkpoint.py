@@ -247,6 +247,38 @@ class TestCorruptCheckpointResilience:
             f.write(b"junk")
         assert latest_checkpoint(str(tmp_path)) is None
 
+    def test_load_latest_parses_once_with_same_fallback(self, tmp_path):
+        """load_latest_checkpoint returns the parsed payload directly (the
+        resume path previously full-parsed every candidate in _loadable and
+        then loaded the winner AGAIN) and keeps the corrupt-newest fallback."""
+        from selectivenet_for_semantic_segmentation_binary_tpu.utils.checkpoint import (
+            load_latest_checkpoint,
+        )
+
+        save_checkpoint(str(tmp_path), {"epoch": 1}, 1)
+        save_checkpoint(str(tmp_path), {"epoch": 2}, 2)
+        with open(tmp_path / "model_epoch3.ckpt", "wb") as f:
+            f.write(b"\x82garbage-truncated")
+        path, epoch, payload = load_latest_checkpoint(str(tmp_path))
+        assert epoch == 2 and path.endswith("model_epoch2.ckpt")
+        assert payload["epoch"] == 2
+
+        with open(tmp_path / "model_epoch2.ckpt", "wb") as f:
+            f.write(b"junk")
+        with open(tmp_path / "model_epoch1.ckpt", "wb") as f:
+            f.write(b"junk")
+        assert load_latest_checkpoint(str(tmp_path)) is None
+
+    def test_latest_verify_false_skips_loadability(self, tmp_path):
+        """verify=False picks the digit-latest NAME without parsing (the
+        sweep's remaining-epochs probe only needs the number; corruption then
+        surfaces at load time instead)."""
+        save_checkpoint(str(tmp_path), {"epoch": 1}, 1)
+        with open(tmp_path / "model_epoch3.ckpt", "wb") as f:
+            f.write(b"junk")
+        assert latest_checkpoint(str(tmp_path))[1] == 1
+        assert latest_checkpoint(str(tmp_path), verify=False)[1] == 3
+
 
 class TestTorchExport:
     def test_roundtrip_identity(self, rng):

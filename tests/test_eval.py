@@ -70,6 +70,32 @@ class TestEvalPaths:
         assert results["confusion_matrix"].shape == (2, 2)
         assert np.isfinite(results["mIoU"])
 
+    def test_save_dir_writes_csv_even_at_reference_default_path(
+            self, data_dir, trained_selective, tmp_path):
+        """ANY explicitly-set --save_dir writes the metric CSV — including
+        './output', which an earlier sentinel check silently swallowed
+        (EvalConfig's unset state is None now)."""
+        import glob, shutil
+
+        out = str(tmp_path / "output")
+        single_dir = str(tmp_path / "single")
+        os.makedirs(single_dir)
+        shutil.copy(sorted(glob.glob(
+            f"{trained_selective}/1-fold/checkpoint/*.ckpt"))[-1], single_dir)
+        cfg = EvalConfig(
+            data_dir=data_dir, test_fold=1, patch_size=32, batch_size=8,
+            model_dir=single_dir,
+            model_arch=["UNet_B"], selective=True, select_eval=False,
+            compute_dtype="float32", local_rank=[0, 1], num_workers=2,
+            save_dir=out,
+        )
+        evaluate(cfg, verbose=False)
+        path = os.path.join(out, "eval_fold1.csv")
+        assert os.path.exists(path)
+        with open(path) as f:
+            lines = f.read().strip().splitlines()
+        assert lines[0].startswith("accuracy") and len(lines) == 2
+
     def test_selective_in_coverage_eval(self, data_dir, trained_selective):
         cfg = EvalConfig(
             data_dir=data_dir, test_fold=1, patch_size=32, batch_size=8,

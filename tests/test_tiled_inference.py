@@ -126,3 +126,44 @@ class TestMeshTiled:
         assert res["pred"].shape == (128, 128)
         assert set(np.unique(res["pred"])) <= {0, 1}
         assert "selection" in res
+
+
+class TestCEHeads:
+    """The CE-form UNet emits (N, h, w, K) maps; tiling must preserve the
+    channel dim and wsi_mask must threshold the softmax class-1 plane."""
+
+    def test_tiled_inference_preserves_channel_dim(self, rng):
+        from selectivenet_for_semantic_segmentation_binary_tpu.models import UNet
+
+        model = UNet(n_cls=3, selective=False)
+        variables = model.init(jax.random.PRNGKey(2),
+                               jnp.zeros((1, 64, 64, 3)), train=False)
+        img = jnp.asarray(rng.standard_normal((128, 128, 3)), jnp.float32)
+        full = np.asarray(model.apply(variables, img[None], train=False))[0]
+        tiled = tiled_inference(_apply(model, variables), img,
+                                tile=(64, 64), halo=DEFAULT_HALO)
+        assert tiled.shape == (128, 128, 3)
+        # windows run as a batch of 4 vs the monolithic batch of 1; with a
+        # K-channel head XLA picks (very slightly) different fusions per
+        # batch shape — ulp-level only
+        np.testing.assert_allclose(tiled, full, rtol=1e-5, atol=1e-7)
+
+    def test_wsi_mask_ce_selective(self, rng):
+        from selectivenet_for_semantic_segmentation_binary_tpu.models import UNet
+
+        model = UNet(n_cls=2, selective=True)
+        variables = model.init(jax.random.PRNGKey(3),
+                               jnp.zeros((1, 64, 64, 3)), train=False)
+        img = rng.random((128, 128, 3)).astype(np.float32)
+        out = wsi_mask(model, variables, img, selective=True, tile=(64, 64))
+        assert out["prob"].shape == (128, 128)
+        assert out["pred"].dtype == np.uint8
+        assert out["selection"].shape == (128, 128)
+        assert np.all((out["prob"] >= 0) & (out["prob"] <= 1))
+        # softmax class-1 plane, not sigmoid of a 3-D map
+        x = (img - 0.5) / 0.5
+        logits = np.asarray(model.apply(variables, jnp.asarray(x)[None],
+                                        train=False)[0])[0]
+        e = np.exp(logits - logits.max(-1, keepdims=True))
+        np.testing.assert_allclose(out["prob"], (e / e.sum(-1, keepdims=True))[..., 1],
+                                   rtol=1e-5, atol=1e-6)

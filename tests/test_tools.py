@@ -265,3 +265,37 @@ class TestInspectCkpt:
         main([ckpt_pair[0], "--compare", ckpt_pair[1]])
         out = capsys.readouterr().out
         assert "MATCH: identical key sets and shapes" in out
+
+
+def test_wsi_inference_normalized_dataset_not_double_normalized(raw_tree, rng):
+    """A dataset whose transform chain already applied Normalization must be
+    fed to the net AS-IS (re-normalizing maps [-1,1] to [-3,1] and garbles
+    every canvas); probabilities must match the raw-mode run bit-for-bit
+    modulo dtype, and the display canvas must be back in [0,1]."""
+    from selectivenet_for_semantic_segmentation_binary_tpu.data import (
+        Compose,
+        Normalization,
+        ToArray,
+        construct_test,
+    )
+
+    test = construct_test(raw_tree, test_fold=1)
+    ds_raw = PatchDataset(raw_tree, test, patch_mag=200, patch_size=32)
+    ds_norm = PatchDataset(
+        raw_tree, test, patch_mag=200, patch_size=32,
+        transform=Compose([Normalization(0.5, 0.5), ToArray()]),
+    )
+    model = UNetB(selective=False)
+    variables = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 3)),
+                           train=False)
+
+    res_raw = wsi_inference(model, variables, ds_raw, nrow=2, batch_size=4)
+    res_norm = wsi_inference(model, variables, ds_norm, nrow=2, batch_size=4)
+
+    assert set(res_raw) == set(res_norm)
+    for slide in res_raw:
+        np.testing.assert_allclose(res_norm[slide]["prob"],
+                                   res_raw[slide]["prob"], atol=1e-5)
+        sample = res_norm[slide]["sample"]
+        assert sample.min() >= 0.0 and sample.max() <= 1.0
+        np.testing.assert_allclose(sample, res_raw[slide]["sample"], atol=1e-6)
