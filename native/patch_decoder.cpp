@@ -133,7 +133,12 @@ int decode_png_label01(const char* path, uint8_t* out, int expect_h, int expect_
   if (!png) { fclose(f); return -6; }
   png_infop info = png_create_info_struct(png);
   if (!info) { png_destroy_read_struct(&png, nullptr, nullptr); fclose(f); return -6; }
+  // volatile: written between setjmp and a potential longjmp (a corrupt PNG
+  // erroring mid-png_read_row lands back here — the row buffer must still be
+  // freed, not leaked once per bad file)
+  png_bytep volatile row = nullptr;
   if (setjmp(png_jmpbuf(png))) {
+    free(row);
     png_destroy_read_struct(&png, &info, nullptr);
     fclose(f);
     return -6;
@@ -161,7 +166,12 @@ int decode_png_label01(const char* path, uint8_t* out, int expect_h, int expect_
     return -7;
   }
 
-  png_bytep row = static_cast<png_bytep>(malloc(png_get_rowbytes(png, info)));
+  row = static_cast<png_bytep>(malloc(png_get_rowbytes(png, info)));
+  if (!row) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    fclose(f);
+    return -6;
+  }
   for (int y = 0; y < h; ++y) {
     png_read_row(png, row, nullptr);
     uint8_t* dst = out + static_cast<size_t>(y) * w;

@@ -58,6 +58,34 @@ class TestNativeDecoder:
             native_decoder.decode_patch_pair("/nonexistent.jpg", "/nonexistent.png", 64)
 
     @needs_native
+    def test_corrupt_png_mid_read_raises(self, patch_tree, tmp_path):
+        """A PNG truncated inside its IDAT stream errors out of png_read_row
+        via longjmp; the decoder must report -6 cleanly (and free its row
+        buffer — the historical leak was once per corrupt file). Loop to
+        exercise the longjmp cleanup path repeatedly."""
+        from PIL import Image
+
+        rng = np.random.default_rng(0)
+        # noisy mask so the IDAT stream is large enough to truncate mid-data
+        noisy = (rng.integers(0, 2, (64, 64)) * 255).astype(np.uint8)
+        good_png = tmp_path / "good_label.png"
+        Image.fromarray(noisy).save(good_png)
+        raw = good_png.read_bytes()
+        bad_png = tmp_path / "bad_label.png"
+        bad_png.write_bytes(raw[: int(len(raw) * 0.6)])
+
+        test = construct_test(patch_tree, test_fold=1)
+        ds = PatchDataset(patch_tree, test, patch_size=64)
+        inp = os.path.join(ds.patch_dir, ds.input_list[0])
+        for _ in range(20):
+            with pytest.raises(RuntimeError, match="code -6"):
+                native_decoder.decode_patch_pair(inp, str(bad_png), 64)
+        # a good pair still decodes after repeated error recoveries
+        native_decoder.decode_patch_pair(
+            inp, os.path.join(ds.patch_dir, ds.label_list[0]), 64
+        )
+
+    @needs_native
     def test_auto_dataset_uses_native_and_falls_back(self, patch_tree, tmp_path):
         """'auto' must survive an undecodable file by falling back to PIL —
         here a patch whose real size disagrees with patch_size still loads
