@@ -151,6 +151,102 @@ def _eval_single_checkpoint(cfg: EvalConfig, ckpt_path: str, loader) -> Dict:
         return evaluate(replace(cfg, model_dir=d), loader=loader, verbose=False)
 
 
+def _spawn_cell(cmd: List[str]) -> int:
+    """Run one grid cell as a child process (module-level for test stubbing);
+    stdout/stderr stream through so cell progress stays visible."""
+    import subprocess
+
+    # make the package importable in the child regardless of cwd/install state
+    env = dict(os.environ)
+    pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    env["PYTHONPATH"] = pkg_root + os.pathsep + env.get("PYTHONPATH", "")
+    return subprocess.run(cmd, env=env).returncode
+
+
+def _run_cell_isolated(
+    spec: Dict,
+    cache_path: str,
+    cache_meta: Dict,
+    cell_retries: int,
+    cell_retry_delay: float,
+    verbose: bool,
+) -> Dict:
+    """Execute one (variant, fold) cell in a fresh child interpreter.
+
+    Motivation (CLAUDE.md hazards / the round-3 grid): the TPU-tunnel client
+    leaks ~10 GB host RSS per train+eval sweep cell, so multi-hour grids get
+    OOM-killed; the round-3 artifact was produced by an EXTERNAL bash retry
+    wrapper around the whole driver. This builds the same survival pattern
+    into the harness: every cell runs in its own process (RSS resets at cell
+    exit), the child persists its result through the ordinary per-cell row
+    cache, and a killed child (OOM, wedged device claim) is retried after a
+    cool-down — the cell's train() auto-resume means retries only pay for the
+    epochs the dead child hadn't finished.
+    """
+    import json
+    import sys
+    import tempfile
+    import time
+
+    fd, spec_path = tempfile.mkstemp(suffix=".json", prefix="snet_cell_")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(spec, f)
+        cmd = [sys.executable, "-m",
+               "selectivenet_for_semantic_segmentation_binary_tpu.tools.sweep",
+               "--cell_spec", spec_path]
+        last_rc = None
+        for attempt in range(cell_retries + 1):
+            if attempt and verbose:
+                print(f"[{spec['variant']['name']} fold {spec['fold']}] child "
+                      f"exited rc={last_rc} without a row; retry "
+                      f"{attempt}/{cell_retries} after {cell_retry_delay:.0f}s "
+                      f"cool-down (device claim may need to clear)", flush=True)
+            if attempt:
+                time.sleep(cell_retry_delay)
+            last_rc = _spawn_cell(cmd)
+            row = _load_row_cache(cache_path, cache_meta)
+            if row is not None:
+                return row
+        raise RuntimeError(
+            f"isolated sweep cell {spec['variant']['name']}/fold "
+            f"{spec['fold']} produced no result row after "
+            f"{cell_retries + 1} attempts (last child exit code {last_rc}); "
+            f"expected row cache at {cache_path}")
+    finally:
+        try:
+            os.unlink(spec_path)
+        except OSError:
+            pass
+
+
+def _cell_main(spec_path: str) -> None:
+    """Child entry for --cell_spec: run exactly one grid cell inline."""
+    import json
+
+    with open(spec_path) as f:
+        spec = json.load(f)
+    if spec.get("platform"):
+        # the env var alone cannot override the session's pinned platform
+        # (a sitecustomize imports jax first — verified: JAX_PLATFORMS=cpu in
+        # a fresh child still yields the TPU); config.update after import is
+        # the reliable mechanism
+        jax.config.update("jax_platforms", spec["platform"])
+    v = spec["variant"]
+    run_sweep(
+        spec["data_dir"], spec["model_root"], folds=[spec["fold"]],
+        variants=[Variant(v["name"], train_kw=v.get("train_kw") or {},
+                          eval_kw=v.get("eval_kw") or {},
+                          data_dir=v.get("data_dir"))],
+        train_overrides=spec.get("train_overrides"),
+        eval_overrides=spec.get("eval_overrides"),
+        select_metric=spec.get("select_metric", "mIoU"),
+        select_overrides=spec.get("select_overrides"),
+        save_dir=None,  # the parent owns the grid-level CSV
+    )
+
+
 def run_sweep(
     data_dir: str,
     model_root: str,
@@ -162,6 +258,10 @@ def run_sweep(
     select_overrides: Optional[dict] = None,
     save_dir: Optional[str] = None,
     verbose: bool = True,
+    isolate_cells: bool = False,
+    cell_platform: Optional[str] = None,
+    cell_retries: int = 2,
+    cell_retry_delay: float = 60.0,
 ) -> List[Dict]:
     """Run the full grid; returns one result dict per (variant, fold) plus a
     ``fold='mean'`` nanmean summary per variant. Writes ``sweep_summary.csv``
@@ -176,10 +276,30 @@ def run_sweep(
     and wins (measured; the reference hand-picked epochs from plain valid
     curves instead, u-net_testing.ipynb cells 21-60). Pass
     ``select_overrides={'select_eval': False}`` to select on
-    without-selection quality and still REPORT in-coverage."""
+    without-selection quality and still REPORT in-coverage.
+
+    ``isolate_cells``: run every (variant, fold) cell in a fresh child
+    interpreter (see _run_cell_isolated — survives the TPU-tunnel client's
+    ~10 GB-per-cell host RSS leak without an external retry wrapper). The
+    parent is moved onto the CPU platform so the children own the device
+    claim; overrides must be JSON-serializable (no tuples — their repr in
+    the row-cache key would change across the JSON round trip).
+    ``cell_platform`` forces the CHILD's jax platform (tests use 'cpu');
+    ``cell_retries``/``cell_retry_delay`` bound the per-cell retry loop."""
     variants = tuple(variants) if variants is not None else default_grid()
     train_overrides = dict(train_overrides or {})
     eval_overrides = dict(eval_overrides or {})
+    if isolate_cells:
+        try:
+            # keep the parent off the (exclusive) TPU-tunnel device claim;
+            # a no-op when the backend is already initialized on cpu
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:  # noqa: BLE001 — backend already up: see guard below
+            pass
+        if jax.process_count() > 1:
+            raise ValueError(
+                "isolate_cells and a multi-process fleet are exclusive; "
+                "fleets already restart-resume via the per-cell row caches")
 
     rows: List[Dict] = []
     for variant in variants:
@@ -229,6 +349,30 @@ def run_sweep(
                     print(f"[{variant.name} fold {fold}] cached row "
                           f"(best epoch {cached['best_epoch']}, test mIoU="
                           f"{cached['mIoU']:.4f})", flush=True)
+                continue
+            if isolate_cells:
+                spec = {
+                    "data_dir": data_dir, "model_root": model_root,
+                    "fold": fold,
+                    "variant": {"name": variant.name,
+                                "train_kw": variant.train_kw,
+                                "eval_kw": variant.eval_kw,
+                                "data_dir": variant.data_dir},
+                    "train_overrides": train_overrides,
+                    "eval_overrides": eval_overrides,
+                    "select_overrides": select_overrides,
+                    "select_metric": select_metric,
+                    "platform": cell_platform,
+                }
+                row = _run_cell_isolated(spec, cache_path, cache_meta,
+                                         cell_retries, cell_retry_delay,
+                                         verbose)
+                per_fold.append(row)
+                rows.append(row)
+                if verbose:
+                    print(f"[{variant.name} fold {fold}] isolated cell done "
+                          f"(best epoch {row['best_epoch']}, test mIoU="
+                          f"{row['mIoU']:.4f})", flush=True)
                 continue
             # Remaining epochs come from the digit-LATEST epoch, which is
             # where train() resumes — a file COUNT would overtrain whenever
@@ -348,6 +492,12 @@ def run_sweep(
 def main(argv=None) -> None:
     """CLI: python -m selectivenet_for_semantic_segmentation_binary_tpu.tools.sweep"""
     import argparse
+    import sys
+
+    raw = list(argv) if argv is not None else sys.argv[1:]
+    if "--cell_spec" in raw:  # child re-entry: run exactly one grid cell
+        _cell_main(raw[raw.index("--cell_spec") + 1])
+        return
 
     parser = argparse.ArgumentParser(
         description="fold x variant experiment-grid sweep with best-epoch "
@@ -369,7 +519,13 @@ def main(argv=None) -> None:
     parser.add_argument("--num_workers", type=int, default=16)
     parser.add_argument("--select_metric", default="mIoU")
     parser.add_argument("--save_dir", default=None)
-    args = parser.parse_args(argv)
+    parser.add_argument("--isolate_cells", type=parse_bool, default=False,
+                        help="run each (variant, fold) cell in a fresh child "
+                             "process with retries — survives the TPU-tunnel "
+                             "client's per-cell host RSS leak on long grids")
+    parser.add_argument("--cell_retries", type=int, default=2)
+    parser.add_argument("--cell_retry_delay", type=float, default=60.0)
+    args = parser.parse_args(raw)
 
     by_name = {v.name: v for v in default_grid()}
     unknown = [n for n in args.variants if n not in by_name]
@@ -391,6 +547,9 @@ def main(argv=None) -> None:
         select_overrides=dict(select_eval=False),
         select_metric=args.select_metric,
         save_dir=args.save_dir,
+        isolate_cells=args.isolate_cells,
+        cell_retries=args.cell_retries,
+        cell_retry_delay=args.cell_retry_delay,
     )
 
 

@@ -183,6 +183,126 @@ def test_completed_cell_cache_skips_rescoring(tmp_path, monkeypatch):
     assert calls  # data_dir mismatch -> re-scored
 
 
+class TestIsolateCells:
+    """--isolate_cells: every (variant, fold) cell runs in a fresh child
+    process and lands its row through the ordinary cell cache, with retries —
+    the in-harness version of the external bash OOM-retry wrapper the round-3
+    grid needed (the TPU-tunnel client leaks ~10 GB host RSS per cell)."""
+
+    def _grid_kw(self):
+        return dict(
+            folds=[1], variants=[Variant("baseline")],
+            train_overrides=dict(
+                model_arch="UNet_B", selective=False, loss="BCElogit",
+                n_epoch=2, batch_size=8, patch_size=32, num_workers=2,
+                compute_dtype="float32",
+            ),
+            eval_overrides={}, verbose=False,
+        )
+
+    def test_retry_then_success_and_spec_roundtrip(self, tmp_path, monkeypatch):
+        """A child that dies without producing a row is retried; the spec file
+        round-trips the full cell definition (meta must match the parent's)."""
+        import selectivenet_for_semantic_segmentation_binary_tpu.tools.sweep as sweep_mod
+
+        data_dir = str(tmp_path / "data")
+        write_synthetic_patch_tree(data_dir, n_slides=2, patches_per_slide=12,
+                                   patch_size=32, seed=21)
+        model_root = str(tmp_path / "models")
+        ckpt_dir = os.path.join(model_root, "baseline", "1-fold", "checkpoint")
+        os.makedirs(ckpt_dir)
+        for e in (1, 2):  # pre-made "checkpoints": the cell skips training
+            open(os.path.join(ckpt_dir, f"model_epoch{e}.ckpt"), "wb").close()
+
+        def fake_eval(cfg, ckpt, loader):
+            return {"accuracy": 0.9, "accuracy_class": 0.9, "precision": [0.9],
+                    "recall": [0.9], "f1_score": [0.9], "mIoU": 0.875,
+                    "IoU_class": [0.9]}
+
+        monkeypatch.setattr(sweep_mod, "_eval_single_checkpoint", fake_eval)
+
+        attempts = []
+
+        def fake_spawn(cmd):
+            attempts.append(list(cmd))
+            if len(attempts) == 1:
+                return 137  # "OOM-killed" child: no row written
+            # 2nd attempt: run the real child entry in-process (same
+            # monkeypatched module), exercising the spec round trip and
+            # proving the child's row cache key matches the parent's
+            sweep_mod._cell_main(cmd[cmd.index("--cell_spec") + 1])
+            return 0
+
+        monkeypatch.setattr(sweep_mod, "_spawn_cell", fake_spawn)
+        rows = sweep_mod.run_sweep(
+            data_dir, model_root, isolate_cells=True, cell_retries=2,
+            cell_retry_delay=0.01, **self._grid_kw(),
+        )
+        assert len(attempts) == 2
+        fold_rows = [r for r in rows if r["fold"] == 1]
+        assert fold_rows and fold_rows[0]["mIoU"] == pytest.approx(0.875)
+        # the row persisted through the ordinary cell cache
+        assert os.path.exists(os.path.join(
+            model_root, "baseline", "1-fold", "sweep_row.json"))
+
+    def test_exhausted_retries_raise(self, tmp_path, monkeypatch):
+        import selectivenet_for_semantic_segmentation_binary_tpu.tools.sweep as sweep_mod
+
+        data_dir = str(tmp_path / "data")
+        write_synthetic_patch_tree(data_dir, n_slides=2, patches_per_slide=12,
+                                   patch_size=32, seed=22)
+        monkeypatch.setattr(sweep_mod, "_spawn_cell", lambda cmd: 137)
+        with pytest.raises(RuntimeError, match="no result row"):
+            sweep_mod.run_sweep(
+                data_dir, str(tmp_path / "models"), isolate_cells=True,
+                cell_retries=1, cell_retry_delay=0.01, **self._grid_kw(),
+            )
+
+    @pytest.mark.slow
+    def test_true_subprocess_end_to_end(self, tmp_path):
+        """One real child interpreter trains + scores a tiny cell on the cpu
+        platform (cell_platform forces it past the session's pinned device —
+        the env var alone cannot, a sitecustomize latches the platform)."""
+        data_dir = str(tmp_path / "data")
+        write_synthetic_patch_tree(data_dir, n_slides=2, patches_per_slide=10,
+                                   patch_size=32, seed=23)
+        model_root = str(tmp_path / "models")
+        rows = run_sweep(
+            data_dir, model_root, folds=[1], variants=[Variant("baseline")],
+            train_overrides=dict(
+                model_arch="UNet_B", selective=False, loss="BCElogit",
+                n_epoch=1, batch_size=8, patch_size=32, num_workers=2,
+                compute_dtype="float32",
+            ),
+            eval_overrides={}, verbose=False,
+            isolate_cells=True, cell_platform="cpu", cell_retries=0,
+        )
+        fold_rows = [r for r in rows if r["fold"] == 1]
+        assert fold_rows and 0.0 <= fold_rows[0]["mIoU"] <= 1.0
+        assert fold_rows[0]["best_epoch"] == 1
+        # reference checkpoint layout produced by the child
+        assert os.path.exists(os.path.join(
+            model_root, "baseline", "1-fold", "checkpoint", "model_epoch1.ckpt"))
+        # a rerun is a pure cache hit: no child spawn needed at all
+        import selectivenet_for_semantic_segmentation_binary_tpu.tools.sweep as sweep_mod
+        import unittest.mock as mock
+
+        with mock.patch.object(sweep_mod, "_spawn_cell",
+                               side_effect=AssertionError("must not spawn")):
+            rows2 = sweep_mod.run_sweep(
+                data_dir, model_root, folds=[1], variants=[Variant("baseline")],
+                train_overrides=dict(
+                    model_arch="UNet_B", selective=False, loss="BCElogit",
+                    n_epoch=1, batch_size=8, patch_size=32, num_workers=2,
+                    compute_dtype="float32",
+                ),
+                eval_overrides={}, verbose=False,
+                isolate_cells=True, cell_platform="cpu", cell_retries=0,
+            )
+        assert [r["mIoU"] for r in rows2 if r["fold"] == 1] == \
+            [fold_rows[0]["mIoU"]]
+
+
 def test_selection_stage_uses_select_overrides(tmp_path, monkeypatch):
     """In-coverage best-epoch selection is degenerate (an all-rejecting
     epoch-1 head scores ~1.0 on the trivial residue and wins); run_sweep must
