@@ -235,6 +235,102 @@ class TestMaskedLosses:
         assert float(loss) == pytest.approx(float(ref_loss), rel=1e-5)
 
 
+class TestRandomizedTorchParity:
+    """Seeded fuzz sweep: every loss vs a torch oracle across random shapes,
+    logit scales (incl. saturated +-30), degenerate labels (all-0 / all-1)
+    and random (target_coverage, lambda) — the reference's losses ARE torch
+    ops (train.py:77-86, selective_loss.py:24-85), so torch is the spec;
+    fixed-shape goldens above cannot see scale- or shape-dependent drift."""
+
+    # (seed, N, H, W, n_cls, logit_scale, label_kind)
+    CASES = [
+        (0, 1, 3, 5, 2, 0.5, "rand"),
+        (1, 2, 7, 7, 3, 1.0, "rand"),
+        (2, 3, 4, 9, 2, 5.0, "rand"),
+        (3, 1, 16, 16, 5, 1.0, "rand"),
+        (4, 2, 5, 5, 2, 30.0, "rand"),   # saturated logits
+        (5, 2, 6, 6, 2, 1.0, "zeros"),   # all-background labels
+        (6, 2, 6, 6, 2, 1.0, "ones"),    # all-tumor labels
+        (7, 4, 8, 3, 4, 2.0, "rand"),
+        (8, 1, 2, 2, 2, 0.1, "rand"),    # tiny map, near-zero logits
+        (9, 5, 11, 13, 3, 3.0, "rand"),
+    ]
+
+    @staticmethod
+    def _labels(rng, kind, shape, n_cls):
+        if kind == "zeros":
+            return np.zeros(shape, np.int64)
+        if kind == "ones":
+            return np.ones(shape, np.int64)
+        return rng.integers(0, n_cls, shape).astype(np.int64)
+
+    @pytest.mark.parametrize("seed,n,h,w,n_cls,scale,kind",
+                             CASES, ids=[f"case{c[0]}" for c in CASES])
+    def test_bce_and_selective_b(self, seed, n, h, w, n_cls, scale, kind):
+        torch = pytest.importorskip("torch")
+        import torch.nn.functional as F
+
+        rng = np.random.default_rng(100 + seed)
+        out = (rng.standard_normal((n, h, w)) * scale).astype(np.float32)
+        sel = (rng.standard_normal((n, h, w)) * scale).astype(np.float32)
+        y = self._labels(rng, kind, (n, h, w), 2).astype(np.float32)
+        tc = float(rng.uniform(0.5, 0.95))
+        lamb = float(rng.uniform(0.5, 16.0))
+
+        t_out, t_sel, t_y = (torch.from_numpy(a) for a in (out, sel, y))
+        exp_bce = F.binary_cross_entropy_with_logits(t_out, t_y).item()
+        got_bce = float(bce_with_logits(jnp.asarray(out), jnp.asarray(y)))
+        assert got_bce == pytest.approx(exp_bce, rel=1e-5, abs=1e-6)
+
+        # reference selective_loss.py:58-85 in torch (log-sigmoid form: the
+        # same stable-identity deviation ops/losses.py documents)
+        g = torch.sigmoid(t_sel)
+        cov = g.mean()
+        log_lik = t_y * F.logsigmoid(t_out) + (1 - t_y) * F.logsigmoid(-t_out)
+        exp_loss = (-(log_lik * g).mean() / cov
+                    + lamb * torch.clamp(tc - cov, min=0.0) ** 2).item()
+        loss, coverage = selective_risk_b(
+            jnp.asarray(out), jnp.asarray(sel), jnp.asarray(y),
+            target_coverage=tc, lamb=lamb,
+        )
+        assert float(coverage) == pytest.approx(cov.item(), rel=1e-5)
+        assert float(loss) == pytest.approx(exp_loss, rel=1e-4, abs=1e-5)
+
+    @pytest.mark.parametrize("seed,n,h,w,n_cls,scale,kind",
+                             CASES, ids=[f"case{c[0]}" for c in CASES])
+    def test_ce_and_selective_ce(self, seed, n, h, w, n_cls, scale, kind):
+        torch = pytest.importorskip("torch")
+        import torch.nn.functional as F
+
+        rng = np.random.default_rng(200 + seed)
+        out = (rng.standard_normal((n, h, w, n_cls)) * scale).astype(np.float32)
+        sel = (rng.standard_normal((n, h, w, 2)) * scale).astype(np.float32)
+        y = self._labels(rng, kind, (n, h, w), n_cls)
+        tc = float(rng.uniform(0.5, 0.95))
+        lamb = float(rng.uniform(0.5, 16.0))
+
+        t_out = torch.from_numpy(out.transpose(0, 3, 1, 2))  # torch wants NCHW
+        t_sel = torch.from_numpy(sel.transpose(0, 3, 1, 2))
+        t_y = torch.from_numpy(y)
+        exp_ce = F.cross_entropy(t_out, t_y).item()
+        got_ce = float(softmax_cross_entropy(jnp.asarray(out), jnp.asarray(y)))
+        assert got_ce == pytest.approx(exp_ce, rel=1e-5, abs=1e-6)
+
+        # reference selective_loss.py:24-56 in torch
+        g = F.softmax(t_sel, dim=1)[:, 1]
+        cov = g.mean()
+        onehot = F.one_hot(t_y, n_cls).permute(0, 3, 1, 2).float()
+        logp = F.log_softmax(t_out, dim=1)
+        exp_loss = (-((logp * onehot).sum(1) * g).mean() / cov
+                    + lamb * torch.clamp(tc - cov, min=0.0) ** 2).item()
+        loss, coverage = selective_risk_ce(
+            jnp.asarray(out), jnp.asarray(sel), jnp.asarray(y),
+            target_coverage=tc, lamb=lamb,
+        )
+        assert float(coverage) == pytest.approx(cov.item(), rel=1e-5)
+        assert float(loss) == pytest.approx(exp_loss, rel=1e-4, abs=1e-5)
+
+
 class TestCompositeObjective:
     """Reference train.py:193-201: loss = aux_loss + select_loss."""
 
