@@ -207,6 +207,56 @@ class TestEvalPaths:
                        {"input": jnp.asarray(x), "label": jnp.asarray(label)})
         np.testing.assert_array_equal(np.asarray(metrics["cm"]), ref_cm)
 
+    @pytest.mark.parametrize("ens_scale", ["clip", "minmax", "sigmoid"])
+    @pytest.mark.parametrize("single_scale", ["sigmoid", "None"])
+    def test_ensemble_rescale_matrix_reference_parity(self, ens_scale,
+                                                      single_scale, rng):
+        """Every per-member ens_scale branch (eval.py:213-220: clip to [0,1],
+        batch-global minmax, sigmoid) composed with both effective
+        single_scale modes at the threshold stage (eval.py:230-233 — only
+        'sigmoid' does anything there, including the double-sigmoid combo the
+        reference happily produces). The ens_scale='None' combo is pinned by
+        test_ensemble_single_scale_reference_parity above."""
+        model = build_model("UNet_B", selective=False, compute_dtype="float32")
+        dummy = jnp.zeros((1, 32, 32, 3), jnp.float32)
+        variables_list = [
+            dict(model.init(jax.random.PRNGKey(k), dummy, train=False))
+            for k in (0, 1)
+        ]
+        cfg = EvalConfig(
+            model_arch=["UNet_B"], selective=False, select_eval=False,
+            ens_scale=ens_scale, single_scale=single_scale, cut_off=0.5,
+            compute_dtype="float32",
+        )
+
+        x = rng.standard_normal((4, 32, 32, 3)).astype(np.float32)
+        label = (rng.random((4, 32, 32)) > 0.5).astype(np.int32)
+
+        # reference pipeline in numpy (eval.py:174-176, 209-233)
+        rescale = {
+            "clip": lambda o: np.clip(o, 0.0, 1.0),
+            "minmax": lambda o: (o - o.min()) / (o.max() - o.min()),
+            "sigmoid": lambda o: 1.0 / (1.0 + np.exp(-o)),
+        }[ens_scale]
+        outs = [
+            rescale(np.asarray(model.apply(
+                {"params": v["params"], "batch_stats": v["batch_stats"]},
+                jnp.asarray(x), train=False)))
+            for v in variables_list
+        ]
+        mean = np.mean(outs, axis=0)
+        if single_scale == "sigmoid":
+            mean = 1.0 / (1.0 + np.exp(-mean))
+        ref_pred = (mean > 0.5).astype(np.int32)
+        ref_cm = np.zeros((2, 2), np.int64)
+        for t, p in zip(label.ravel(), ref_pred.ravel()):
+            ref_cm[t, p] += 1
+
+        step = make_eval_step(model, cfg, n_models=len(variables_list))
+        metrics = step(stack_variables(variables_list),
+                       {"input": jnp.asarray(x), "label": jnp.asarray(label)})
+        np.testing.assert_array_equal(np.asarray(metrics["cm"]), ref_cm)
+
     def test_minmax_single_scale_is_threshold_noop(self, trained_selective, rng):
         """The reference only implements the 'sigmoid' branch at the threshold
         stage (eval.py:230-233): --single_scale minmax must produce the same
