@@ -63,3 +63,15 @@ class TestHelpSurface:
         for flag in ("--test_fold", "--select_eval", "--cut_off",
                      "--s_cut_off", "--ens_scale"):
             assert flag in h
+
+    def test_sweep_help_lists_grid_flags(self):
+        out = subprocess.run(
+            [sys.executable, "-m",
+             "selectivenet_for_semantic_segmentation_binary_tpu.tools.sweep",
+             "--help"],
+            capture_output=True, text=True, timeout=120, cwd=REPO,
+        )
+        assert out.returncode == 0, out.stderr
+        for flag in ("--folds", "--variants", "--select_metric",
+                     "--isolate_cells", "--cell_retries"):
+            assert flag in out.stdout
