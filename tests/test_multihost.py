@@ -33,6 +33,27 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+# Generous: a 4-process gloo fleet shares this host's ONE core, and a
+# contended run measured 6x the idle duration before timing out.
+_FLEET_TIMEOUT = 1500
+
+
+def _communicate_all(procs, timeout: float = _FLEET_TIMEOUT):
+    """communicate() every worker, KILLING the whole fleet on any timeout —
+    a bare list-comprehension leaks the remaining live workers into every
+    subsequent test on a timeout (observed: a straggler contended a later
+    fleet test past its deadline), and one killed gloo rank leaves its peers
+    blocked in collectives forever."""
+    try:
+        return [p.communicate(timeout=timeout)[0].decode() for p in procs]
+    except Exception:
+        for p in procs:
+            p.kill()
+        for p in procs:
+            p.communicate()
+        raise
+
+
 def _run_fleet(nproc: int, data_dir: str, out_path: str, *,
                worker: str = _WORKER, extra_args: tuple = ()) -> dict:
     port = _free_port()
@@ -50,7 +71,7 @@ def _run_fleet(nproc: int, data_dir: str, out_path: str, *,
         )
         for pid in range(nproc)
     ]
-    outs = [p.communicate(timeout=900)[0].decode() for p in procs]
+    outs = _communicate_all(procs)
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
     with open(out_path) as f:
@@ -103,7 +124,7 @@ def test_sweep_and_calibrate_fleet_semantics(tmp_path):
         )
         for pid in range(2)
     ]
-    outs = [p.communicate(timeout=900)[0].decode() for p in procs]
+    outs = _communicate_all(procs)
     for p, o in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{o[-3000:]}"
 
@@ -159,7 +180,7 @@ def test_writer_host_checkpoint_failure_aborts_whole_fleet(tmp_path):
     ]
     # the old behavior is an indefinite hang of worker 1 — the timeout IS the
     # regression detector
-    outs = [p.communicate(timeout=600)[0].decode() for p in procs]
+    outs = _communicate_all(procs, timeout=600)
     for p, out in zip(procs, outs):
         assert p.returncode not in (0, 17), f"worker did not fail:\n{out[-2000:]}"
     assert "checkpoint" in (outs[0] + outs[1]).lower()
