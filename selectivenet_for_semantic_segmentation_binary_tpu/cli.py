@@ -4,8 +4,8 @@ The reference is driven as ``python3 train.py`` / ``python3 eval.py``
 (reference README.md:28-68) and those repo-root shims are kept verbatim; this
 module additionally exposes the same drivers as installed commands
 (``snet-train``, ``snet-eval``, ``snet-split``, ``snet-sweep``,
-``snet-inspect-ckpt``) so the framework works as a pip-installed package
-without a checkout.
+``snet-inspect-ckpt``, ``snet-calibrate``, ``snet-predict``, ``snet-wsi``)
+so the framework works as a pip-installed package without a checkout.
 """
 
 from __future__ import annotations
@@ -72,4 +72,18 @@ def calibrate_main() -> None:
     from .tools.calibrate import main
 
     _maybe_init_distributed()  # calibration is eval-shaped: same fleet semantics
+    main()
+
+
+def predict_main() -> None:
+    # single-host serving tool: no fleet init (one process owns its chips)
+    from .tools.predict import main
+
+    main()
+
+
+def wsi_main() -> None:
+    # single-host workbench tool (the reference's notebook ran single-process)
+    from .tools.wsi import main
+
     main()

@@ -28,6 +28,7 @@ _EXPORTS = {
     "Variant": ".sweep",
     "default_grid": ".sweep",
     "run_sweep": ".sweep",
+    "predict_image": ".predict",
     "wsi_mask": ".tiled_inference",
     "mc_uncertainty": ".uncertainty",
     "make_heatmap": ".wsi",
@@ -37,8 +38,8 @@ _EXPORTS = {
 }
 
 _SUBMODULES = frozenset({
-    "calibrate", "data_split", "inspect_ckpt", "sweep", "tiled_inference",
-    "uncertainty", "wsi",
+    "calibrate", "data_split", "inspect_ckpt", "predict", "sweep",
+    "tiled_inference", "uncertainty", "wsi",
 })
 
 __all__ = sorted(set(_EXPORTS) | _SUBMODULES)

@@ -1,0 +1,213 @@
+"""Standalone image -> mask prediction CLI (``snet-predict``).
+
+The reference had a standalone-inference story — ``u-net_inference.ipynb``
+and ``check_wsi-level_mask.ipynb`` existed but were stripped from the repo as
+large blobs (reference .MISSING_LARGE_BLOBS:1-3), and the surviving
+arbitrary-size FCN demo is u-net_testing.ipynb cells 64-74 (normalize a crop,
+single forward, jet heatmap). This CLI is that capability as a command:
+
+* arbitrary JPEG/PNG images (any size) in; probability map, binary mask, jet
+  heatmap, and — for selective checkpoints — the selection (coverage) mask
+  out, named ``{stem}_pred.png`` / ``{stem}_heatmap.png`` / ... next to the
+  input or under ``--save_dir``;
+* inference through the serving :class:`~..predictor.Predictor` (BN-folded
+  bf16 forward by default, native ``.ckpt`` or reference ``.pth`` weights);
+* images are reflect-padded to the pool grid (dims divisible by 8) and the
+  outputs cropped back, so any size works — exactly, not approximately;
+* ``--tile H W`` switches to the bounded-memory exact tiled path
+  (tools/tiled_inference.py) for slides too large for one forward.
+
+GH (Gray+Hematoxylin) checkpoints are served by converting each RGB input
+with the reference's stain transform (data_utils.py:13-27) before the
+forward (``--input_type GH``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+GRID = 8  # the trunk max-pools 3x: input dims must be divisible by 2^3
+
+_OUTPUT_SUFFIXES = ("_pred.png", "_heatmap.png", "_selection.png", "_label.png")
+
+
+def _collect_inputs(paths: List[str]) -> List[str]:
+    """Expand directories into their image files; skip labels and our own
+    previously-written outputs so re-runs on a directory are idempotent."""
+    out: List[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            for name in sorted(os.listdir(p)):
+                if not name.lower().endswith((".jpg", ".jpeg", ".png")):
+                    continue
+                if name.endswith(_OUTPUT_SUFFIXES):
+                    continue
+                out.append(os.path.join(p, name))
+        else:
+            out.append(p)
+    if not out:
+        raise FileNotFoundError(f"no input images found in {paths}")
+    return out
+
+
+def _load_image(path: str, input_type: str) -> np.ndarray:
+    """Decode to float32 [0, 1] (H, W, C); GH applies the reference's stain
+    transform (RGB2GH, data_utils.py:13-27) exactly like the train pipeline."""
+    from PIL import Image
+
+    img = np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
+    if input_type == "GH":
+        from ..data.stain import RGB2GH
+
+        img = RGB2GH(img)
+    return img
+
+
+def _pad_to_grid(img: np.ndarray) -> Tuple[np.ndarray, int, int]:
+    """Reflect-pad (H, W, C) so both dims divide GRID; returns original dims."""
+    h, w = img.shape[:2]
+    ph, pw = (-h) % GRID, (-w) % GRID
+    if ph or pw:
+        # edge (replicate) padding: valid for any pad width, unlike reflect,
+        # which requires pad < dim and would reject tiny images
+        img = np.pad(img, ((0, ph), (0, pw), (0, 0)), mode="edge")
+    return img, h, w
+
+
+def predict_image(
+    predictor,
+    image: np.ndarray,
+    tile: Optional[Tuple[int, int]] = None,
+    batch_size: int = 8,
+) -> Dict[str, np.ndarray]:
+    """One (H, W, C) raw [0, 1] image -> {'prob', 'pred'[, 'selection']}.
+
+    Handles the pool-grid padding around either the whole-image forward or
+    the exact tiled path; every output is cropped back to (H, W).
+    """
+    padded, h, w = _pad_to_grid(np.asarray(image, np.float32))
+    if tile is not None:
+        out = predictor.predict_wsi(padded, tile=tile, batch_size=batch_size)
+    else:
+        raw = predictor.predict(padded[None])
+        out = {k: v[0] for k, v in raw.items() if k in ("prob", "pred", "selection")}
+    out = {k: v[:h, :w] for k, v in out.items()}
+    # a bf16 serving graph yields ml_dtypes bfloat16 maps, which PIL/matplotlib
+    # reject — standardize the output dtypes at the API edge
+    out["prob"] = np.asarray(out["prob"], np.float32)
+    return out
+
+
+def _save_outputs(out: Dict[str, np.ndarray], stem: str, save_dir: str,
+                  save_prob: bool, heatmap: bool) -> List[str]:
+    from PIL import Image
+
+    os.makedirs(save_dir, exist_ok=True)
+    written: List[str] = []
+
+    def _write_png(suffix: str, arr: np.ndarray) -> None:
+        path = os.path.join(save_dir, f"{stem}{suffix}")
+        Image.fromarray(arr).save(path)
+        written.append(path)
+
+    _write_png("_pred.png", (out["pred"].astype(np.uint8) * 255))
+    if "selection" in out:
+        _write_png("_selection.png", (out["selection"].astype(np.uint8) * 255))
+    if heatmap:
+        try:
+            from .wsi import make_heatmap
+
+            _write_png("_heatmap.png",
+                       (make_heatmap(out["prob"]) * 255).astype(np.uint8))
+        except ImportError:  # matplotlib is optional; degrade, don't fail
+            print(f"  (matplotlib unavailable: skipping {stem}_heatmap.png)")
+    if save_prob:
+        path = os.path.join(save_dir, f"{stem}_prob.npy")
+        np.save(path, out["prob"].astype(np.float32))
+        written.append(path)
+    return written
+
+
+def main(argv=None) -> None:
+    """CLI: python -m selectivenet_for_semantic_segmentation_binary_tpu.tools.predict"""
+    import argparse
+
+    from ..config import parse_bool
+
+    parser = argparse.ArgumentParser(
+        description="standalone image -> tumor mask prediction (whole-image "
+                    "or exact tiled inference through the serving Predictor)")
+    parser.add_argument("inputs", nargs="+",
+                        help="image files and/or directories of JPEG/PNG images")
+    parser.add_argument("--model_path", default=None,
+                        help="one specific .ckpt/.pth checkpoint")
+    parser.add_argument("--model_dir", default=None,
+                        help="checkpoint dir: the digit-latest model_epoch{N} "
+                             "file is used (reference resume convention)")
+    parser.add_argument("--model_arch", default="UNet_B",
+                        choices=["UNet", "UNet_B"])
+    parser.add_argument("--n_cls", type=int, default=2)
+    parser.add_argument("--selective", type=parse_bool, default=False)
+    parser.add_argument("--input_type", default="RGB", choices=["RGB", "GH"])
+    parser.add_argument("--compute_dtype", default="bfloat16")
+    parser.add_argument("--cut_off", type=float, default=0.5)
+    parser.add_argument("--s_cut_off", type=float, default=0.5)
+    parser.add_argument("--fold_bn", type=parse_bool, default=True,
+                        help="fold BatchNorm into the convs (serving graph)")
+    parser.add_argument("--tile", type=int, nargs=2, default=None,
+                        metavar=("H", "W"),
+                        help="bounded-memory exact tiled inference with this "
+                             "output tile (dims divisible by 8); default is "
+                             "one whole-image forward")
+    parser.add_argument("--batch_size", type=int, default=8,
+                        help="windows per device batch on the tiled path")
+    parser.add_argument("--save_dir", default=None,
+                        help="output directory (default: next to each input)")
+    parser.add_argument("--save_prob", type=parse_bool, default=False,
+                        help="also write {stem}_prob.npy float32 maps")
+    parser.add_argument("--heatmap", type=parse_bool, default=True)
+    a = parser.parse_args(argv)
+
+    if (a.model_path is None) == (a.model_dir is None):
+        parser.error("exactly one of --model_path / --model_dir is required")
+    tile = tuple(a.tile) if a.tile else None
+    if tile and (tile[0] % GRID or tile[1] % GRID):
+        parser.error(f"--tile dims must be divisible by {GRID}, got {tile}")
+
+    ckpt = a.model_path
+    if ckpt is None:
+        from ..utils.checkpoint import latest_checkpoint
+
+        latest = latest_checkpoint(a.model_dir)
+        if latest is None:
+            parser.error(f"no checkpoints in {a.model_dir}")
+        ckpt = latest[0]
+
+    from ..predictor import Predictor
+
+    predictor = Predictor(
+        ckpt, model_arch=a.model_arch, n_cls=a.n_cls, selective=a.selective,
+        compute_dtype=a.compute_dtype, cut_off=a.cut_off,
+        s_cut_off=a.s_cut_off, fold_bn=a.fold_bn,
+    )
+    print(f"checkpoint: {ckpt} ({a.model_arch}, selective={a.selective}, "
+          f"fold_bn={a.fold_bn}, {a.compute_dtype})")
+
+    for path in _collect_inputs(a.inputs):
+        image = _load_image(path, a.input_type)
+        out = predict_image(predictor, image, tile=tile, batch_size=a.batch_size)
+        stem = os.path.splitext(os.path.basename(path))[0]
+        save_dir = a.save_dir or (os.path.dirname(os.path.abspath(path)))
+        _save_outputs(out, stem, save_dir, a.save_prob, a.heatmap)
+        line = (f"{path}: {image.shape[0]}x{image.shape[1]} "
+                f"tumor_fraction={float(out['pred'].mean()):.4f}")
+        if "selection" in out:
+            line += f" coverage={float(out['selection'].mean()):.4f}"
+        print(line, flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -222,3 +222,85 @@ def wsi_inference(
             header=["slide", "accuracy", "recall", "precision", "f1 score", "AUC score"],
         )
     return results
+
+
+def main(argv=None) -> None:
+    """CLI (``snet-wsi``): stitched whole-slide scoring over a test fold.
+
+    Command form of reference u-net_testing.ipynb cells 4-8 (and the stripped
+    check_wsi-level_mask.ipynb, .MISSING_LARGE_BLOBS:2): load the fold's test
+    patches, forward every slide's patch grid, stitch sample/pred/prob
+    canvases, score per patch and per stitched WSI, and save heatmaps +
+    ``wsi_performance.csv`` under ``--save_dir``.
+    """
+    import argparse
+
+    from ..config import parse_bool
+    from ..data import PatchDataset, construct_test
+    from ..models import build_model
+    from ..utils.checkpoint import latest_checkpoint, load_net_checkpoint
+
+    parser = argparse.ArgumentParser(
+        description="stitched whole-slide inference + per-patch/per-WSI scoring")
+    parser.add_argument("--data_dir", required=True)
+    parser.add_argument("--test_fold", type=int, default=1)
+    parser.add_argument("--model_path", default=None,
+                        help="one specific .ckpt/.pth checkpoint")
+    parser.add_argument("--model_dir", default=None,
+                        help="checkpoint dir: digit-latest model_epoch{N} wins")
+    parser.add_argument("--model_arch", default="UNet_B",
+                        choices=["UNet", "UNet_B"])
+    parser.add_argument("--n_cls", type=int, default=2)
+    parser.add_argument("--selective", type=parse_bool, default=False)
+    parser.add_argument("--input_type", default="RGB", choices=["RGB", "GH"])
+    parser.add_argument("--patch_mag", type=int, default=200)
+    parser.add_argument("--patch_size", type=int, default=256)
+    parser.add_argument("--nrow", type=int, required=True,
+                        help="rows in each slide's patch grid (the notebook's "
+                             "3x6 layout used nrow=3, cell 4)")
+    parser.add_argument("--cut_off", type=float, default=0.5)
+    parser.add_argument("--batch_size", type=int, default=32)
+    parser.add_argument("--num_workers", type=int, default=16)
+    parser.add_argument("--compute_dtype", default="bfloat16")
+    parser.add_argument("--save_dir", default=None,
+                        help="write {slide}_heatmap.png / {slide}_pred.png + "
+                             "wsi_performance.csv here")
+    a = parser.parse_args(argv)
+
+    if (a.model_path is None) == (a.model_dir is None):
+        parser.error("exactly one of --model_path / --model_dir is required")
+    ckpt = a.model_path
+    if ckpt is None:
+        latest = latest_checkpoint(a.model_dir)
+        if latest is None:
+            parser.error(f"no checkpoints in {a.model_dir}")
+        ckpt = latest[0]
+
+    model = build_model(a.model_arch, a.n_cls, a.selective, a.compute_dtype)
+    variables = load_net_checkpoint(ckpt)
+    data_list = construct_test(a.data_dir, test_fold=a.test_fold)
+    # no transform: wsi_inference takes the raw-uint8 device-preproc fast path
+    # for RGB and normalizes GH itself (see its raw_mode / norm handling)
+    dataset = PatchDataset(a.data_dir, data_list, a.patch_mag, a.patch_size,
+                           a.input_type)
+    print(f"checkpoint: {ckpt} ({a.model_arch}, selective={a.selective})")
+    print(f"test fold {a.test_fold}: {len(dataset)} patches")
+
+    results = wsi_inference(
+        model, variables, dataset, a.nrow, selective=a.selective,
+        cut_off=a.cut_off, batch_size=a.batch_size, save_dir=a.save_dir,
+        num_workers=a.num_workers,
+    )
+    header = ("accuracy", "recall", "precision", "f1", "auc")
+    fmt = lambda vals: " ".join(f"{m}={v:.4f}" for m, v in zip(header, vals))
+    wsi_scores = []
+    for slide, entry in results.items():
+        wsi_scores.append(entry["wsi_score"])
+        print(f"[{slide}] WSI {fmt(entry['wsi_score'])}")
+        print(f"[{slide}] patch-mean {fmt(entry['patch_scores_mean'])}")
+    mean = np.nanmean(np.asarray(wsi_scores, np.float64), axis=0)
+    print(f"[nanmean over {len(results)} slides] {fmt(mean)}")
+
+
+if __name__ == "__main__":
+    main()

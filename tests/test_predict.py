@@ -1,0 +1,175 @@
+"""snet-predict / snet-wsi CLI tests.
+
+The reference's standalone-inference notebooks (u-net_inference.ipynb,
+check_wsi-level_mask.ipynb) were stripped from the repo
+(.MISSING_LARGE_BLOBS:1-3); tools/predict.py and tools/wsi.py::main are their
+command-line reconstruction. These tests drive both CLIs in-process end to
+end on synthetic data.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from selectivenet_for_semantic_segmentation_binary_tpu.data import (
+    write_synthetic_patch_tree,
+)
+from selectivenet_for_semantic_segmentation_binary_tpu.models import build_model
+from selectivenet_for_semantic_segmentation_binary_tpu.tools import predict as predict_cli
+from selectivenet_for_semantic_segmentation_binary_tpu.tools import wsi as wsi_cli
+from selectivenet_for_semantic_segmentation_binary_tpu.utils.checkpoint import (
+    save_checkpoint,
+)
+
+
+def _make_ckpt(d: str, selective: bool, in_ch: int = 3) -> str:
+    model = build_model("UNet_B", selective=selective, compute_dtype="float32")
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, in_ch)), train=False
+    )
+    variables = jax.device_get(variables)
+    save_checkpoint(str(d), {"net": {
+        "params": variables["params"], "batch_stats": variables["batch_stats"],
+    }, "epoch": 3}, 3)
+    return os.path.join(str(d), "model_epoch3.ckpt")
+
+
+@pytest.fixture(scope="module")
+def sel_ckpt(tmp_path_factory):
+    d = tmp_path_factory.mktemp("predict_ckpt")
+    return _make_ckpt(d, selective=True)
+
+
+@pytest.fixture(scope="module")
+def image_file(tmp_path_factory):
+    """A 36x44 RGB PNG — deliberately NOT divisible by the pool grid (8)."""
+    d = tmp_path_factory.mktemp("predict_imgs")
+    rng = np.random.default_rng(0)
+    arr = (rng.random((36, 44, 3)) * 255).astype(np.uint8)
+    path = os.path.join(str(d), "tile.png")
+    Image.fromarray(arr).save(path)
+    return path
+
+
+class TestPredictCLI:
+    def test_whole_image_off_grid(self, sel_ckpt, image_file, tmp_path):
+        out_dir = str(tmp_path / "out")
+        predict_cli.main([
+            image_file, "--model_path", sel_ckpt, "--selective", "1",
+            "--compute_dtype", "float32", "--save_dir", out_dir,
+            "--save_prob", "1", "--heatmap", "0",
+        ])
+        prob = np.load(os.path.join(out_dir, "tile_prob.npy"))
+        assert prob.shape == (36, 44)  # cropped back from the padded 40x48
+        assert prob.dtype == np.float32
+        assert 0.0 <= prob.min() and prob.max() <= 1.0
+        pred = np.asarray(Image.open(os.path.join(out_dir, "tile_pred.png")))
+        assert pred.shape == (36, 44)
+        assert set(np.unique(pred)) <= {0, 255}
+        sel = np.asarray(Image.open(os.path.join(out_dir, "tile_selection.png")))
+        assert sel.shape == (36, 44)
+        assert set(np.unique(sel)) <= {0, 255}
+
+    def test_tiled_matches_whole(self, sel_ckpt, tmp_path):
+        """--tile is the EXACT bounded-memory path: same probabilities."""
+        rng = np.random.default_rng(1)
+        arr = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+        img = os.path.join(str(tmp_path), "big.png")
+        Image.fromarray(arr).save(img)
+
+        whole_dir, tiled_dir = str(tmp_path / "whole"), str(tmp_path / "tiled")
+        base = [img, "--model_path", sel_ckpt, "--selective", "1",
+                "--compute_dtype", "float32", "--save_prob", "1",
+                "--heatmap", "0"]
+        predict_cli.main(base + ["--save_dir", whole_dir])
+        predict_cli.main(base + ["--save_dir", tiled_dir, "--tile", "32", "32"])
+        np.testing.assert_allclose(
+            np.load(os.path.join(whole_dir, "big_prob.npy")),
+            np.load(os.path.join(tiled_dir, "big_prob.npy")),
+            rtol=1e-5, atol=1e-5,
+        )
+
+    def test_gh_input_type(self, tmp_path, image_file):
+        """GH checkpoints (2-channel trunk) serve RGB images via the stain
+        transform (reference data_utils.py:13-27)."""
+        ckpt = _make_ckpt(tmp_path, selective=False, in_ch=2)
+        out_dir = str(tmp_path / "out")
+        predict_cli.main([
+            image_file, "--model_path", ckpt, "--input_type", "GH",
+            "--compute_dtype", "float32", "--save_dir", out_dir,
+            "--heatmap", "0",
+        ])
+        pred = np.asarray(Image.open(os.path.join(out_dir, "tile_pred.png")))
+        assert pred.shape == (36, 44)
+
+    def test_directory_scan_skips_labels_and_outputs(self, sel_ckpt, tmp_path):
+        d = tmp_path / "imgs"
+        d.mkdir()
+        rng = np.random.default_rng(2)
+        for name in ("a_input.jpg", "b_input.jpg"):
+            Image.fromarray((rng.random((32, 32, 3)) * 255).astype(np.uint8)).save(
+                str(d / name))
+        # decoys a directory scan must not feed to the model
+        Image.fromarray(np.zeros((32, 32), np.uint8)).save(str(d / "a_label.png"))
+        Image.fromarray(np.zeros((32, 32), np.uint8)).save(str(d / "x_pred.png"))
+        out_dir = str(tmp_path / "out")
+        predict_cli.main([
+            str(d), "--model_path", sel_ckpt, "--selective", "1",
+            "--compute_dtype", "float32", "--save_dir", out_dir,
+            "--heatmap", "0",
+        ])
+        stems = sorted(f for f in os.listdir(out_dir) if f.endswith("_pred.png"))
+        assert stems == ["a_input_pred.png", "b_input_pred.png"]
+
+    def test_model_dir_picks_digit_latest(self, tmp_path, image_file):
+        model = build_model("UNet_B", selective=False, compute_dtype="float32")
+        variables = jax.device_get(model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False))
+        for epoch in (2, 10):  # digit sort: 10 > 2 (lexical sort would fail)
+            save_checkpoint(str(tmp_path), {"net": {
+                "params": variables["params"],
+                "batch_stats": variables["batch_stats"],
+            }, "epoch": epoch}, epoch)
+        out_dir = str(tmp_path / "out")
+        predict_cli.main([
+            image_file, "--model_dir", str(tmp_path),
+            "--compute_dtype", "float32", "--save_dir", out_dir,
+            "--heatmap", "0",
+        ])
+        assert os.path.exists(os.path.join(out_dir, "tile_pred.png"))
+
+    def test_requires_exactly_one_model_source(self, sel_ckpt, image_file):
+        with pytest.raises(SystemExit):
+            predict_cli.main([image_file])
+        with pytest.raises(SystemExit):
+            predict_cli.main([image_file, "--model_path", sel_ckpt,
+                              "--model_dir", os.path.dirname(sel_ckpt)])
+
+
+class TestWsiCLI:
+    @pytest.fixture(scope="class")
+    def tree(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("wsi_tree")
+        write_synthetic_patch_tree(str(d), n_slides=2, patches_per_slide=8,
+                                   patch_size=32)
+        return str(d)
+
+    def test_end_to_end(self, tree, tmp_path, capsys):
+        ckpt = _make_ckpt(tmp_path, selective=False)
+        out_dir = str(tmp_path / "wsi_out")
+        wsi_cli.main([
+            "--data_dir", tree, "--test_fold", "1",
+            "--model_path", ckpt, "--patch_size", "32", "--nrow", "2",
+            "--compute_dtype", "float32", "--batch_size", "4",
+            "--num_workers", "2", "--save_dir", out_dir,
+        ])
+        assert os.path.exists(os.path.join(out_dir, "wsi_performance.csv"))
+        heatmaps = [f for f in os.listdir(out_dir) if f.endswith("_heatmap.png")]
+        assert heatmaps
+        out = capsys.readouterr().out
+        assert "nanmean over" in out
+        assert "accuracy=" in out
