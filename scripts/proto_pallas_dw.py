@@ -187,6 +187,7 @@ def dw_xla(x, g, conv=conv_hwnc):
 
 
 def check(cpu: bool):
+    print(f"variant={VARIANT}", flush=True)
     if cpu:
         jax.config.update("jax_platforms", "cpu")
     interpret = jax.devices()[0].platform != "tpu"
@@ -200,7 +201,8 @@ def check(cpu: bool):
         x = jnp.asarray(rng.standard_normal((h, w, n, ci)), jnp.float32)
         g = jnp.asarray(rng.standard_normal((h, w, n, co)), jnp.float32)
         want = np.asarray(dw_xla(x, g))
-        got = np.asarray(dw_pallas(x, g, TH=th, TW=tw, interpret=interpret))
+        got = np.asarray(dw_pallas(x, g, TH=th, TW=tw, variant=VARIANT,
+                                   interpret=interpret))
         err = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
         status = "ok" if err < 2e-6 else "FAIL"
         print(f"f32 {h}x{w} N{n} {ci}->{co} T({th},{tw}): rel {err:.2e} "
@@ -209,7 +211,8 @@ def check(cpu: bool):
         # bf16 operands, f32 accumulation on both sides
         xb, gb = x.astype(jnp.bfloat16), g.astype(jnp.bfloat16)
         want = np.asarray(dw_xla(xb, gb))
-        got = np.asarray(dw_pallas(xb, gb, TH=th, TW=tw, interpret=interpret))
+        got = np.asarray(dw_pallas(xb, gb, TH=th, TW=tw, variant=VARIANT,
+                                   interpret=interpret))
         err = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
         status = "ok" if err < 2e-2 else "FAIL"
         print(f"bf16 {h}x{w} N{n} {ci}->{co} T({th},{tw}): rel {err:.2e} "

@@ -63,6 +63,7 @@ class Predictor:
         self._forward = jax.jit(
             lambda x: self.model.apply(self.variables, x, train=False)
         )
+        self._tiled_apply = None  # built lazily on first predict_wsi
 
     # -- core ---------------------------------------------------------------
     def logits(self, images: np.ndarray):
@@ -102,11 +103,21 @@ class Predictor:
         """Exact seamless full-slide inference ((H, W, C) raw [0, 1] image)."""
         from .tools.tiled_inference import wsi_mask
 
-        variables = dict(self.variables)
-        variables.setdefault("batch_stats", {})
-        return wsi_mask(self.model, variables, image, selective=self.selective,
+        if self._tiled_apply is None:
+            # one jit wrapper for the Predictor's lifetime: per-call closures
+            # would recompile the forward for every image of a batch run
+            variables = dict(self.variables)
+            variables.setdefault("batch_stats", {})
+
+            def apply_fn(batch):
+                out = self.model.apply(variables, batch, train=False)
+                return out if isinstance(out, tuple) else (out,)
+
+            self._tiled_apply = jax.jit(apply_fn)
+        return wsi_mask(self.model, None, image, selective=self.selective,
                         cut_off=self.cut_off, s_cut_off=self.s_cut_off,
-                        tile=tile, batch_size=batch_size)
+                        tile=tile, batch_size=batch_size,
+                        apply_fn=self._tiled_apply)
 
     # -- uncertainty ----------------------------------------------------------
     def predict_with_uncertainty(self, images: np.ndarray, n_iter: int = 32,

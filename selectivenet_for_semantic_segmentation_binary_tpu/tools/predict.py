@@ -12,14 +12,17 @@ single forward, jet heatmap). This CLI is that capability as a command:
   input or under ``--save_dir``;
 * inference through the serving :class:`~..predictor.Predictor` (BN-folded
   bf16 forward by default, native ``.ckpt`` or reference ``.pth`` weights);
-* images are reflect-padded to the pool grid (dims divisible by 8) and the
+* images are edge-padded to the pool grid (dims divisible by 8) and the
   outputs cropped back, so any size works — exactly, not approximately;
 * ``--tile H W`` switches to the bounded-memory exact tiled path
   (tools/tiled_inference.py) for slides too large for one forward.
 
 GH (Gray+Hematoxylin) checkpoints are served by converting each RGB input
 with the reference's stain transform (data_utils.py:13-27) before the
-forward (``--input_type GH``).
+forward (``--input_type GH``); ``--blankfield 1`` applies the same
+white-balance correction the BC/GH_BC training variants use
+(data/transforms.py::BlankfieldCorrection, after stain conversion exactly
+like the train/eval pipelines).
 """
 
 from __future__ import annotations
@@ -29,7 +32,8 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-GRID = 8  # the trunk max-pools 3x: input dims must be divisible by 2^3
+from .tiled_inference import GRID  # the trunk max-pools 3x: dims % 8 == 0
+
 
 _OUTPUT_SUFFIXES = ("_pred.png", "_heatmap.png", "_selection.png", "_label.png")
 
@@ -43,7 +47,7 @@ def _collect_inputs(paths: List[str]) -> List[str]:
             for name in sorted(os.listdir(p)):
                 if not name.lower().endswith((".jpg", ".jpeg", ".png")):
                     continue
-                if name.endswith(_OUTPUT_SUFFIXES):
+                if name.lower().endswith(_OUTPUT_SUFFIXES):
                     continue
                 out.append(os.path.join(p, name))
         else:
@@ -53,9 +57,12 @@ def _collect_inputs(paths: List[str]) -> List[str]:
     return out
 
 
-def _load_image(path: str, input_type: str) -> np.ndarray:
+def _load_image(path: str, input_type: str,
+                blankfield: bool = False) -> np.ndarray:
     """Decode to float32 [0, 1] (H, W, C); GH applies the reference's stain
-    transform (RGB2GH, data_utils.py:13-27) exactly like the train pipeline."""
+    transform (RGB2GH, data_utils.py:13-27) exactly like the train pipeline;
+    blankfield applies BlankfieldCorrection AFTER stain conversion, matching
+    the train/eval transform order (train_lib.py make_loaders)."""
     from PIL import Image
 
     img = np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
@@ -63,11 +70,15 @@ def _load_image(path: str, input_type: str) -> np.ndarray:
         from ..data.stain import RGB2GH
 
         img = RGB2GH(img)
+    if blankfield:
+        from ..data.transforms import BlankfieldCorrection
+
+        img = BlankfieldCorrection()({"input": img}, None)["input"]
     return img
 
 
 def _pad_to_grid(img: np.ndarray) -> Tuple[np.ndarray, int, int]:
-    """Reflect-pad (H, W, C) so both dims divide GRID; returns original dims."""
+    """Edge-pad (H, W, C) so both dims divide GRID; returns original dims."""
     h, w = img.shape[:2]
     ph, pw = (-h) % GRID, (-w) % GRID
     if ph or pw:
@@ -152,6 +163,10 @@ def main(argv=None) -> None:
     parser.add_argument("--n_cls", type=int, default=2)
     parser.add_argument("--selective", type=parse_bool, default=False)
     parser.add_argument("--input_type", default="RGB", choices=["RGB", "GH"])
+    parser.add_argument("--blankfield", type=parse_bool, default=False,
+                        help="apply blank-field (white-balance) correction — "
+                             "required for checkpoints trained with "
+                             "--blankfield 1 (the BC/GH_BC sweep variants)")
     parser.add_argument("--compute_dtype", default="bfloat16")
     parser.add_argument("--cut_off", type=float, default=0.5)
     parser.add_argument("--s_cut_off", type=float, default=0.5)
@@ -196,11 +211,19 @@ def main(argv=None) -> None:
     print(f"checkpoint: {ckpt} ({a.model_arch}, selective={a.selective}, "
           f"fold_bn={a.fold_bn}, {a.compute_dtype})")
 
+    seen_stems = set()
     for path in _collect_inputs(a.inputs):
-        image = _load_image(path, a.input_type)
+        image = _load_image(path, a.input_type, a.blankfield)
         out = predict_image(predictor, image, tile=tile, batch_size=a.batch_size)
-        stem = os.path.splitext(os.path.basename(path))[0]
+        base = os.path.splitext(os.path.basename(path))[0]
         save_dir = a.save_dir or (os.path.dirname(os.path.abspath(path)))
+        # disambiguate colliding stems (a.png + a.jpg, or same-named inputs
+        # from different directories funneled into one --save_dir)
+        stem, n = base, 2
+        while (save_dir, stem) in seen_stems:
+            stem = f"{base}_{n}"
+            n += 1
+        seen_stems.add((save_dir, stem))
         _save_outputs(out, stem, save_dir, a.save_prob, a.heatmap)
         line = (f"{path}: {image.shape[0]}x{image.shape[1]} "
                 f"tumor_fraction={float(out['pred'].mean()):.4f}")

@@ -54,6 +54,7 @@ def tiled_inference(
     halo: int = DEFAULT_HALO,
     batch_size: int = 8,
     mesh=None,
+    jit_apply: bool = True,
 ):
     """Exact full-image forward of a fully-convolutional NHWC model.
 
@@ -70,6 +71,10 @@ def tiled_inference(
             (data-parallel windows: zero cross-chip communication, the
             complement of parallel.spatial's row sharding). The tail batch is
             padded to the mesh size; padded windows are computed and dropped.
+        jit_apply: wrap apply_fn in jax.jit here (default). Pass False when
+            apply_fn is already jitted by the caller — re-wrapping a fresh
+            closure per call would recompile the forward for every image
+            (the Predictor's cached serving path relies on this).
     Returns:
         (H, W) array, or a tuple of them if apply_fn returns a tuple.
     """
@@ -96,7 +101,7 @@ def tiled_inference(
             jobs.append((r0, c0, ch, cw, wr, wc))
 
     image = jnp.asarray(image)
-    batched_fn = jax.jit(apply_fn)
+    batched_fn = jax.jit(apply_fn) if jit_apply else apply_fn
     if mesh is not None:
         from ..parallel.mesh import batch_sharding
 
@@ -151,24 +156,29 @@ def wsi_mask(
     halo: int = DEFAULT_HALO,
     batch_size: int = 8,
     mesh=None,
+    apply_fn=None,
 ):
     """Seamless full-slide probability map + binary mask (+ selection mask).
 
     ``image``: (H, W, C) raw [0, 1] float; normalization (x-0.5)/0.5 applied
     here (reference transform semantics). ``mesh`` shards window batches
-    across chips (see tiled_inference).
+    across chips (see tiled_inference). ``apply_fn``: optional pre-jitted
+    tuple-returning forward (batch -> (f[, g, h])) — when given, model and
+    variables are unused and the caller's jit cache is reused across calls.
     """
     x = (np.asarray(image, np.float32) - 0.5) / 0.5
 
-    def apply_fn(batch):
-        out = model.apply(
-            {"params": variables["params"], "batch_stats": variables["batch_stats"]},
-            batch, train=False,
-        )
-        return out if isinstance(out, tuple) else (out,)
+    prebuilt = apply_fn is not None
+    if not prebuilt:
+        def apply_fn(batch):
+            out = model.apply(
+                {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+                batch, train=False,
+            )
+            return out if isinstance(out, tuple) else (out,)
 
     outs = tiled_inference(apply_fn, jnp.asarray(x), tile, halo, batch_size,
-                           mesh=mesh)
+                           mesh=mesh, jit_apply=not prebuilt)
     prob = _tumor_prob(outs[0])
     result = {"prob": prob, "pred": (prob > cut_off).astype(np.uint8)}
     if selective and len(outs) >= 2:

@@ -253,6 +253,10 @@ def main(argv=None) -> None:
     parser.add_argument("--n_cls", type=int, default=2)
     parser.add_argument("--selective", type=parse_bool, default=False)
     parser.add_argument("--input_type", default="RGB", choices=["RGB", "GH"])
+    parser.add_argument("--blankfield", type=parse_bool, default=False,
+                        help="apply blank-field correction — required for "
+                             "checkpoints trained with --blankfield 1 (the "
+                             "BC/GH_BC sweep variants)")
     parser.add_argument("--patch_mag", type=int, default=200)
     parser.add_argument("--patch_size", type=int, default=256)
     parser.add_argument("--nrow", type=int, required=True,
@@ -279,10 +283,18 @@ def main(argv=None) -> None:
     model = build_model(a.model_arch, a.n_cls, a.selective, a.compute_dtype)
     variables = load_net_checkpoint(ckpt)
     data_list = construct_test(a.data_dir, test_fold=a.test_fold)
-    # no transform: wsi_inference takes the raw-uint8 device-preproc fast path
-    # for RGB and normalizes GH itself (see its raw_mode / norm handling)
+    # default: no transform, so wsi_inference takes the raw-uint8
+    # device-preproc fast path for RGB and normalizes GH itself (its
+    # raw_mode / norm handling). Blankfield needs host-side color math, so
+    # it rides the transform path (applied after stain conversion, matching
+    # the train/eval pipelines; wsi_inference then normalizes the fed batch).
+    transform = None
+    if a.blankfield:
+        from ..data.transforms import BlankfieldCorrection, Compose
+
+        transform = Compose([BlankfieldCorrection()])
     dataset = PatchDataset(a.data_dir, data_list, a.patch_mag, a.patch_size,
-                           a.input_type)
+                           a.input_type, transform=transform)
     print(f"checkpoint: {ckpt} ({a.model_arch}, selective={a.selective})")
     print(f"test fold {a.test_fold}: {len(dataset)} patches")
 

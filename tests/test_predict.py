@@ -149,6 +149,69 @@ class TestPredictCLI:
             predict_cli.main([image_file, "--model_path", sel_ckpt,
                               "--model_dir", os.path.dirname(sel_ckpt)])
 
+    def test_blankfield_changes_prediction_inputs(self, sel_ckpt, image_file,
+                                                  tmp_path):
+        """--blankfield must reach the model: BC-variant checkpoints
+        (tools/sweep.py BC/GH_BC) are served white-balanced, like
+        train_lib/eval_lib prepend BlankfieldCorrection."""
+        plain, bc = str(tmp_path / "plain"), str(tmp_path / "bc")
+        base = [image_file, "--model_path", sel_ckpt, "--selective", "1",
+                "--compute_dtype", "float32", "--save_prob", "1",
+                "--heatmap", "0"]
+        predict_cli.main(base + ["--save_dir", plain])
+        predict_cli.main(base + ["--save_dir", bc, "--blankfield", "1"])
+        a = np.load(os.path.join(plain, "tile_prob.npy"))
+        b = np.load(os.path.join(bc, "tile_prob.npy"))
+        assert np.abs(a - b).max() > 0  # the correction altered the input
+
+    def test_colliding_stems_do_not_overwrite(self, sel_ckpt, tmp_path):
+        rng = np.random.default_rng(3)
+        d1, d2 = tmp_path / "d1", tmp_path / "d2"
+        d1.mkdir(), d2.mkdir()
+        for d in (d1, d2):  # same basename in two directories
+            Image.fromarray((rng.random((32, 32, 3)) * 255).astype(
+                np.uint8)).save(str(d / "tile.png"))
+        out_dir = str(tmp_path / "out")
+        predict_cli.main([
+            str(d1 / "tile.png"), str(d2 / "tile.png"),
+            "--model_path", sel_ckpt, "--selective", "1",
+            "--compute_dtype", "float32", "--save_dir", out_dir,
+            "--heatmap", "0",
+        ])
+        preds = sorted(f for f in os.listdir(out_dir)
+                       if f.endswith("_pred.png"))
+        assert preds == ["tile_2_pred.png", "tile_pred.png"]
+
+    def test_directory_scan_output_skip_is_case_insensitive(self, tmp_path):
+        d = tmp_path / "imgs"
+        d.mkdir()
+        Image.fromarray(np.zeros((32, 32), np.uint8)).save(
+            str(d / "X_PRED.PNG"))  # prior-output decoy, uppercase
+        Image.fromarray(np.zeros((32, 32), np.uint8)).save(
+            str(d / "y_Label.png"))
+        with pytest.raises(FileNotFoundError):
+            predict_cli._collect_inputs([str(d)])
+
+    def test_tiled_path_reuses_one_jit_wrapper(self, tmp_path):
+        """predict_wsi must not rebuild its jitted forward per image — a
+        fresh closure per call recompiles the trunk for every slide
+        (~20 s+ each on the tunnel)."""
+        from selectivenet_for_semantic_segmentation_binary_tpu.predictor import (
+            Predictor,
+        )
+
+        ckpt = _make_ckpt(tmp_path, selective=False)
+        p = Predictor(ckpt, selective=False, compute_dtype="float32")
+        rng = np.random.default_rng(4)
+        img = rng.random((64, 64, 3)).astype(np.float32)
+        out1 = p.predict_wsi(img, tile=(32, 32))
+        fn = p._tiled_apply
+        assert fn is not None
+        out2 = p.predict_wsi(rng.random((64, 64, 3)).astype(np.float32),
+                             tile=(32, 32))
+        assert p._tiled_apply is fn  # same wrapper -> same jit cache
+        assert out1["prob"].shape == out2["prob"].shape == (64, 64)
+
 
 class TestWsiCLI:
     @pytest.fixture(scope="class")
@@ -173,3 +236,15 @@ class TestWsiCLI:
         out = capsys.readouterr().out
         assert "nanmean over" in out
         assert "accuracy=" in out
+
+    def test_blankfield_path(self, tree, tmp_path, capsys):
+        """--blankfield rides wsi_inference's transform branch (no raw-uint8
+        fast path) and still scores end to end."""
+        ckpt = _make_ckpt(tmp_path, selective=False)
+        wsi_cli.main([
+            "--data_dir", tree, "--test_fold", "1",
+            "--model_path", ckpt, "--patch_size", "32", "--nrow", "2",
+            "--compute_dtype", "float32", "--batch_size", "4",
+            "--num_workers", "2", "--blankfield", "1",
+        ])
+        assert "nanmean over" in capsys.readouterr().out
