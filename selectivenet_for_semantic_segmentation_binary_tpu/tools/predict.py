@@ -9,7 +9,10 @@ single forward, jet heatmap). This CLI is that capability as a command:
 * arbitrary JPEG/PNG images (any size) in; probability map, binary mask, jet
   heatmap, and — for selective checkpoints — the selection (coverage) mask
   out, named ``{stem}_pred.png`` / ``{stem}_heatmap.png`` / ... next to the
-  input or under ``--save_dir``;
+  input or under ``--save_dir`` (outputs are keyed by the input's basename
+  stem: within one run colliding stems are disambiguated ``{stem}_2``, ...;
+  across runs same-stem outputs overwrite, which is what makes re-runs
+  idempotent);
 * inference through the serving :class:`~..predictor.Predictor` (BN-folded
   bf16 forward by default, native ``.ckpt`` or reference ``.pth`` weights);
 * images are edge-padded to the pool grid (dims divisible by 8) and the
@@ -51,6 +54,10 @@ def _collect_inputs(paths: List[str]) -> List[str]:
                     continue
                 out.append(os.path.join(p, name))
         else:
+            if not os.path.isfile(p):
+                raise FileNotFoundError(
+                    f"input image does not exist: {p}")  # fail BEFORE any
+                    # checkpoint load / device work, not mid-batch
             out.append(p)
     if not out:
         raise FileNotFoundError(f"no input images found in {paths}")
@@ -186,20 +193,21 @@ def main(argv=None) -> None:
     parser.add_argument("--heatmap", type=parse_bool, default=True)
     a = parser.parse_args(argv)
 
-    if (a.model_path is None) == (a.model_dir is None):
-        parser.error("exactly one of --model_path / --model_dir is required")
     tile = tuple(a.tile) if a.tile else None
-    if tile and (tile[0] % GRID or tile[1] % GRID):
-        parser.error(f"--tile dims must be divisible by {GRID}, got {tile}")
+    if tile and any(t <= 0 or t % GRID for t in tile):
+        parser.error(f"--tile dims must be positive multiples of {GRID}, "
+                     f"got {tile}")
+    if a.batch_size <= 0:
+        parser.error(f"--batch_size must be positive, got {a.batch_size}")
 
-    ckpt = a.model_path
-    if ckpt is None:
-        from ..utils.checkpoint import latest_checkpoint
+    from ..utils.checkpoint import resolve_checkpoint
 
-        latest = latest_checkpoint(a.model_dir)
-        if latest is None:
-            parser.error(f"no checkpoints in {a.model_dir}")
-        ckpt = latest[0]
+    try:
+        ckpt = resolve_checkpoint(a.model_path, a.model_dir)
+    except ValueError as e:
+        parser.error(str(e))
+
+    inputs = _collect_inputs(a.inputs)  # validate before the checkpoint load
 
     from ..predictor import Predictor
 
@@ -212,7 +220,8 @@ def main(argv=None) -> None:
           f"fold_bn={a.fold_bn}, {a.compute_dtype})")
 
     seen_stems = set()
-    for path in _collect_inputs(a.inputs):
+    padded_shapes = set()
+    for path in inputs:
         image = _load_image(path, a.input_type, a.blankfield)
         out = predict_image(predictor, image, tile=tile, batch_size=a.batch_size)
         base = os.path.splitext(os.path.basename(path))[0]
@@ -230,6 +239,17 @@ def main(argv=None) -> None:
         if "selection" in out:
             line += f" coverage={float(out['selection'].mean()):.4f}"
         print(line, flush=True)
+        if tile is None:
+            # whole-image forwards jit-compile once PER padded shape; remote
+            # compiles are expensive (docs/RESULTS.md: 24-1128 s each on the
+            # tunnel) — steer mixed-size batch runs to the tiled path, whose
+            # window shape is fixed
+            h, w = image.shape[:2]
+            padded_shapes.add(((-h) % GRID + h, (-w) % GRID + w))
+            if len(padded_shapes) == 4:
+                print("note: 4+ distinct image sizes seen — each size "
+                      "compiles its own forward; --tile H W compiles once "
+                      "for any mix of sizes", flush=True)
 
 
 if __name__ == "__main__":

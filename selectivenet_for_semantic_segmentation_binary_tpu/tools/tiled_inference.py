@@ -179,6 +179,11 @@ def wsi_mask(
 
     outs = tiled_inference(apply_fn, jnp.asarray(x), tile, halo, batch_size,
                            mesh=mesh, jit_apply=not prebuilt)
+    if not isinstance(outs, tuple):
+        # a prebuilt apply_fn returning a bare array (natural for
+        # non-selective models) must not be mistaken for per-head outputs:
+        # outs[0] of a bare (H, W) map would be its first ROW
+        outs = (outs,)
     prob = _tumor_prob(outs[0])
     result = {"prob": prob, "pred": (prob > cut_off).astype(np.uint8)}
     if selective and len(outs) >= 2:

@@ -238,7 +238,7 @@ def main(argv=None) -> None:
     from ..config import parse_bool
     from ..data import PatchDataset, construct_test
     from ..models import build_model
-    from ..utils.checkpoint import latest_checkpoint, load_net_checkpoint
+    from ..utils.checkpoint import load_net_checkpoint, resolve_checkpoint
 
     parser = argparse.ArgumentParser(
         description="stitched whole-slide inference + per-patch/per-WSI scoring")
@@ -271,14 +271,10 @@ def main(argv=None) -> None:
                              "wsi_performance.csv here")
     a = parser.parse_args(argv)
 
-    if (a.model_path is None) == (a.model_dir is None):
-        parser.error("exactly one of --model_path / --model_dir is required")
-    ckpt = a.model_path
-    if ckpt is None:
-        latest = latest_checkpoint(a.model_dir)
-        if latest is None:
-            parser.error(f"no checkpoints in {a.model_dir}")
-        ckpt = latest[0]
+    try:
+        ckpt = resolve_checkpoint(a.model_path, a.model_dir)
+    except ValueError as e:
+        parser.error(str(e))
 
     model = build_model(a.model_arch, a.n_cls, a.selective, a.compute_dtype)
     variables = load_net_checkpoint(ckpt)
@@ -303,6 +299,9 @@ def main(argv=None) -> None:
         cut_off=a.cut_off, batch_size=a.batch_size, save_dir=a.save_dir,
         num_workers=a.num_workers,
     )
+    if not results:
+        print(f"no slides found in test fold {a.test_fold} of {a.data_dir}")
+        return
     header = ("accuracy", "recall", "precision", "f1", "auc")
     fmt = lambda vals: " ".join(f"{m}={v:.4f}" for m, v in zip(header, vals))
     wsi_scores = []

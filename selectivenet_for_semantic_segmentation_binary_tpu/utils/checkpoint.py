@@ -126,6 +126,28 @@ class AsyncCheckpointWriter:
             raise err
 
 
+def resolve_checkpoint(model_path, model_dir):
+    """One checkpoint path from the --model_path/--model_dir CLI pair.
+
+    Exactly one of the two must be given; --model_dir resolves to the
+    digit-latest ``model_epoch{N}`` file (the reference resume convention,
+    net_utils.py:18-24). Used by the serving CLIs (snet-predict, snet-wsi).
+    verify=False keeps startup to one deserialization on 1-core hosts — a
+    corrupt file then fails loudly at load time instead of silently falling
+    back to an older epoch (which is the right serving behavior).
+
+    Raises ValueError with a CLI-ready message on misuse.
+    """
+    if (model_path is None) == (model_dir is None):
+        raise ValueError("exactly one of --model_path / --model_dir is required")
+    if model_path is not None:
+        return model_path
+    latest = latest_checkpoint(model_dir, verify=False)
+    if latest is None:
+        raise ValueError(f"no checkpoints in {model_dir}")
+    return latest[0]
+
+
 def _epoch_of(filename: str) -> int:
     digits = "".join(re.findall(r"\d+", filename))
     return int(digits) if digits else -1

@@ -149,6 +149,37 @@ class TestPredictCLI:
             predict_cli.main([image_file, "--model_path", sel_ckpt,
                               "--model_dir", os.path.dirname(sel_ckpt)])
 
+    def test_rejects_bad_tile_and_batch_and_missing_inputs(self, sel_ckpt,
+                                                           image_file):
+        with pytest.raises(SystemExit):  # zero/negative tile dims
+            predict_cli.main([image_file, "--model_path", sel_ckpt,
+                              "--tile", "0", "0"])
+        with pytest.raises(SystemExit):
+            predict_cli.main([image_file, "--model_path", sel_ckpt,
+                              "--batch_size", "0"])
+        with pytest.raises(FileNotFoundError):  # before any device work
+            predict_cli.main(["/nonexistent/typo.png",
+                              "--model_path", sel_ckpt])
+
+    def test_prebuilt_bare_array_apply_fn(self, tmp_path):
+        """wsi_mask must tuple-normalize a prebuilt apply_fn that returns a
+        bare array (natural for non-selective models) — outs[0] of a bare
+        (H, W) map would silently be its first row."""
+        import jax as _jax
+
+        from selectivenet_for_semantic_segmentation_binary_tpu.tools.tiled_inference import (
+            wsi_mask,
+        )
+
+        model = build_model("UNet_B", selective=False,
+                            compute_dtype="float32")
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 32, 32, 3)), train=False)
+        bare_fn = _jax.jit(lambda b: model.apply(variables, b, train=False))
+        img = np.random.default_rng(5).random((64, 64, 3)).astype(np.float32)
+        out = wsi_mask(None, None, img, tile=(32, 32), apply_fn=bare_fn)
+        assert out["prob"].shape == (64, 64)
+
     def test_blankfield_changes_prediction_inputs(self, sel_ckpt, image_file,
                                                   tmp_path):
         """--blankfield must reach the model: BC-variant checkpoints
