@@ -99,8 +99,16 @@ class Predictor:
 
     # -- whole-slide --------------------------------------------------------
     def predict_wsi(self, image: np.ndarray, tile=(512, 512),
-                    batch_size: int = 8) -> Dict[str, np.ndarray]:
-        """Exact seamless full-slide inference ((H, W, C) raw [0, 1] image)."""
+                    batch_size: int = 8, mesh=None) -> Dict[str, np.ndarray]:
+        """Exact seamless full-slide inference ((H, W, C) raw [0, 1] image).
+
+        ``mesh``: optional 1-D device mesh — window batches are sharded
+        across its chips (data-parallel windows, zero cross-chip
+        communication; see tools/tiled_inference.py). The jitted forward is
+        cached per wrapper, so alternating mesh/no-mesh calls on one
+        Predictor share the same wrapper and recompile only on shape or
+        sharding change.
+        """
         from .tools.tiled_inference import wsi_mask
 
         if self._tiled_apply is None:
@@ -116,7 +124,7 @@ class Predictor:
             self._tiled_apply = jax.jit(apply_fn)
         return wsi_mask(self.model, None, image, selective=self.selective,
                         cut_off=self.cut_off, s_cut_off=self.s_cut_off,
-                        tile=tile, batch_size=batch_size,
+                        tile=tile, batch_size=batch_size, mesh=mesh,
                         apply_fn=self._tiled_apply)
 
     # -- uncertainty ----------------------------------------------------------

@@ -100,6 +100,7 @@ def predict_image(
     image: np.ndarray,
     tile: Optional[Tuple[int, int]] = None,
     batch_size: int = 8,
+    mesh=None,
 ) -> Dict[str, np.ndarray]:
     """One (H, W, C) raw [0, 1] image -> {'prob', 'pred'[, 'selection']}.
 
@@ -108,7 +109,8 @@ def predict_image(
     """
     padded, h, w = _pad_to_grid(np.asarray(image, np.float32))
     if tile is not None:
-        out = predictor.predict_wsi(padded, tile=tile, batch_size=batch_size)
+        out = predictor.predict_wsi(padded, tile=tile, batch_size=batch_size,
+                                    mesh=mesh)
     else:
         raw = predictor.predict(padded[None])
         out = {k: v[0] for k, v in raw.items() if k in ("prob", "pred", "selection")}
@@ -186,6 +188,10 @@ def main(argv=None) -> None:
                              "one whole-image forward")
     parser.add_argument("--batch_size", type=int, default=8,
                         help="windows per device batch on the tiled path")
+    parser.add_argument("--shard_windows", type=parse_bool, default=False,
+                        help="shard tiled-path window batches across all "
+                             "visible chips (data-parallel windows, zero "
+                             "cross-chip communication; requires --tile)")
     parser.add_argument("--save_dir", default=None,
                         help="output directory (default: next to each input)")
     parser.add_argument("--save_prob", type=parse_bool, default=False,
@@ -199,6 +205,9 @@ def main(argv=None) -> None:
                      f"got {tile}")
     if a.batch_size <= 0:
         parser.error(f"--batch_size must be positive, got {a.batch_size}")
+    if a.shard_windows and tile is None:
+        parser.error("--shard_windows requires --tile (whole-image forwards "
+                     "run on one chip)")
 
     from ..utils.checkpoint import resolve_checkpoint
 
@@ -216,6 +225,12 @@ def main(argv=None) -> None:
         compute_dtype=a.compute_dtype, cut_off=a.cut_off,
         s_cut_off=a.s_cut_off, fold_bn=a.fold_bn,
     )
+    mesh = None
+    if a.shard_windows:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        print(f"sharding window batches over {mesh.devices.size} chips")
     print(f"checkpoint: {ckpt} ({a.model_arch}, selective={a.selective}, "
           f"fold_bn={a.fold_bn}, {a.compute_dtype})")
 
@@ -223,7 +238,8 @@ def main(argv=None) -> None:
     padded_shapes = set()
     for path in inputs:
         image = _load_image(path, a.input_type, a.blankfield)
-        out = predict_image(predictor, image, tile=tile, batch_size=a.batch_size)
+        out = predict_image(predictor, image, tile=tile,
+                            batch_size=a.batch_size, mesh=mesh)
         base = os.path.splitext(os.path.basename(path))[0]
         save_dir = a.save_dir or (os.path.dirname(os.path.abspath(path)))
         # disambiguate colliding stems (a.png + a.jpg, or same-named inputs

@@ -93,6 +93,29 @@ class TestPredictCLI:
             rtol=1e-5, atol=1e-5,
         )
 
+    def test_shard_windows_matches_single_chip(self, sel_ckpt, tmp_path):
+        """--shard_windows shards tiled window batches over the (virtual
+        8-device) mesh; window DP involves zero cross-chip math, so the
+        probability maps must match the unsharded run exactly."""
+        rng = np.random.default_rng(6)
+        img = os.path.join(str(tmp_path), "big.png")
+        Image.fromarray((rng.random((96, 96, 3)) * 255).astype(
+            np.uint8)).save(img)
+        base = [img, "--model_path", sel_ckpt, "--selective", "1",
+                "--compute_dtype", "float32", "--save_prob", "1",
+                "--heatmap", "0", "--tile", "32", "32"]
+        solo, mesh = str(tmp_path / "solo"), str(tmp_path / "mesh")
+        predict_cli.main(base + ["--save_dir", solo])
+        predict_cli.main(base + ["--save_dir", mesh, "--shard_windows", "1"])
+        np.testing.assert_array_equal(
+            np.load(os.path.join(solo, "big_prob.npy")),
+            np.load(os.path.join(mesh, "big_prob.npy")))
+
+    def test_shard_windows_requires_tile(self, sel_ckpt, image_file):
+        with pytest.raises(SystemExit):
+            predict_cli.main([image_file, "--model_path", sel_ckpt,
+                              "--shard_windows", "1"])
+
     def test_gh_input_type(self, tmp_path, image_file):
         """GH checkpoints (2-channel trunk) serve RGB images via the stain
         transform (reference data_utils.py:13-27)."""
