@@ -26,8 +26,9 @@ from selectivenet_for_semantic_segmentation_binary_tpu.utils.checkpoint import (
 )
 
 
-def _make_ckpt(d: str, selective: bool, in_ch: int = 3) -> str:
-    model = build_model("UNet_B", selective=selective, compute_dtype="float32")
+def _make_ckpt(d: str, selective: bool, in_ch: int = 3,
+               arch: str = "UNet_B") -> str:
+    model = build_model(arch, selective=selective, compute_dtype="float32")
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, in_ch)), train=False
     )
@@ -92,6 +93,22 @@ class TestPredictCLI:
             np.load(os.path.join(tiled_dir, "big_prob.npy")),
             rtol=1e-5, atol=1e-5,
         )
+
+    def test_ce_head_unet_whole_and_tiled(self, tmp_path, image_file):
+        """The CE-family UNet (n_cls softmax head, reference model.py:106-191)
+        serves through the same CLI: tumor prob = softmax class-1 plane,
+        whole-image and tiled paths agree."""
+        ckpt = _make_ckpt(tmp_path, selective=False, arch="UNet")
+        whole, tiled = str(tmp_path / "whole"), str(tmp_path / "tiled")
+        base = [image_file, "--model_path", ckpt, "--model_arch", "UNet",
+                "--compute_dtype", "float32", "--save_prob", "1",
+                "--heatmap", "0"]
+        predict_cli.main(base + ["--save_dir", whole])
+        predict_cli.main(base + ["--save_dir", tiled, "--tile", "24", "24"])
+        a = np.load(os.path.join(whole, "tile_prob.npy"))
+        b = np.load(os.path.join(tiled, "tile_prob.npy"))
+        assert a.shape == (36, 44)
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
 
     def test_shard_windows_matches_single_chip(self, sel_ckpt, tmp_path):
         """--shard_windows shards tiled window batches over the (virtual
