@@ -95,7 +95,10 @@ class PatchDataset:
                 )
             except RuntimeError:
                 pass  # odd file -> PIL below
-        inp = np.asarray(Image.open(inp_path), dtype=np.uint8)
+        # convert("RGB"): the odd files the native decoder punts here
+        # (grayscale, CMYK, palette PNGs) must still come back (H, W, 3)
+        # or batch assembly fails mid-epoch on a shape mismatch
+        inp = np.asarray(Image.open(inp_path).convert("RGB"), dtype=np.uint8)
         lab = (np.asarray(Image.open(lab_path).convert("L")) / 255.0).astype(np.uint8)
         return inp, lab
 
@@ -125,7 +128,7 @@ class PatchDataset:
             inp = lab = None
 
         if inp is None:
-            inp = Image.open(inp_path)
+            inp = Image.open(inp_path).convert("RGB")  # see get_raw
             lab = Image.open(lab_path).convert("L")
             inp = np.asarray(inp, dtype=np.float32) / 255.0
             lab = (np.asarray(lab) / 255.0).astype(np.uint8)

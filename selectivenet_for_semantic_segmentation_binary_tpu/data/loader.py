@@ -64,6 +64,7 @@ class PatchLoader:
         device applies (training augmentation)."""
         self.dataset = dataset
         self.batch_size = batch_size
+        self._shape_cache = None
         self.shuffle = shuffle
         self.num_workers = max(1, num_workers)
         self.drop_last = drop_last
@@ -101,6 +102,21 @@ class PatchLoader:
         self._epoch = epoch
 
     # -- internals -----------------------------------------------------------
+    def _sample_shape(self):
+        """(H, W, C) of one input, WITHOUT decoding when metadata suffices —
+        a pure-padding host slice must not pay a full image decode per batch
+        just to read a shape."""
+        if self._shape_cache is None:
+            ds = self.dataset
+            if hasattr(ds, "patch_size") and hasattr(ds, "input_type"):
+                # raw (device_preproc) batches are always decoded RGB; the
+                # float path's channel count follows the stain space
+                c = 2 if (not self.device_preproc and ds.input_type == "GH") else 3
+                self._shape_cache = (ds.patch_size, ds.patch_size, c)
+            else:
+                self._shape_cache = tuple(np.shape(ds[0]["input"]))
+        return self._shape_cache
+
     def _order(self) -> np.ndarray:
         idx = np.arange(len(self.dataset))
         if self.shuffle:
@@ -111,13 +127,17 @@ class PatchLoader:
         rng = np.random.default_rng([self.seed, self._epoch, int(index)])
         if self.device_preproc:
             inp, lab = self.dataset.get_raw(int(index))
-            flips = (rng.random(2) > 0.5) if self.random_flip else np.zeros(2, bool)
             if hasattr(self.dataset, "input_list"):
                 sid = self.dataset.input_list[int(index)].split("_input")[0]
             else:
                 sid = str(index)
-            return {"input": inp, "label": lab, "flips": flips.astype(np.uint8),
-                    "id": sid}
+            sample = {"input": inp, "label": lab, "id": sid}
+            if self.random_flip:
+                # flips ship only when augmentation is on: an all-zero flips
+                # array would still make the jitted step materialize flipped
+                # copies + per-pixel selects of every eval batch for nothing
+                sample["flips"] = (rng.random(2) > 0.5).astype(np.uint8)
+            return sample
         if self._pass_rng:
             return self.dataset.__getitem__(int(index), rng=rng)
         return self.dataset[int(index)]
@@ -141,13 +161,14 @@ class PatchLoader:
         if samples:
             inp = np.stack([s["input"] for s in samples]).astype(inp_dtype)
             lab = np.stack([s["label"] for s in samples]).astype(lab_dtype)
+            self._shape_cache = tuple(inp.shape[1:])
         else:  # this host's slice is pure padding
-            shape = tuple(np.shape(self.dataset[0]["input"]))
+            shape = self._sample_shape()
             inp = np.zeros((0,) + shape, inp_dtype)
             lab = np.zeros((0,) + shape[:-1], lab_dtype)
         ids = [s.get("id", str(i)) for s, i in zip(samples, local_indices)]
         flips = None
-        if self.device_preproc:
+        if self.device_preproc and self.random_flip:
             flips = (
                 np.stack([s["flips"] for s in samples]).astype(np.uint8)
                 if samples else np.zeros((0, 2), np.uint8)

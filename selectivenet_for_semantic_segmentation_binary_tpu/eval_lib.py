@@ -85,8 +85,14 @@ def load_models(cfg: EvalConfig):
     arch_list = list(cfg.model_arch)
     if len(paths) != 1 and len(arch_list) == 1:
         arch_list = arch_list * len(paths)
-    assert len(arch_list) == len(paths), "model_arch count must match checkpoints"
-    assert len(set(arch_list)) == 1, "mixed architectures in one ensemble are unsupported"
+    # ValueError, not assert: user-input validation must survive python -O
+    if len(arch_list) != len(paths):
+        raise ValueError(
+            f"model_arch count ({len(arch_list)}) must match the number of "
+            f"checkpoints in {cfg.model_dir} ({len(paths)})")
+    if len(set(arch_list)) != 1:
+        raise ValueError("mixed architectures in one ensemble are unsupported "
+                         f"(got {sorted(set(arch_list))})")
 
     model = build_model(arch_list[0], cfg.n_cls, cfg.selective, cfg.compute_dtype)
     variables = [load_net_checkpoint(p) for p in paths]

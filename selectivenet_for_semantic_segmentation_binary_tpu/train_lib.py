@@ -56,7 +56,6 @@ from .parallel.mesh import batch_sharding, make_mesh, replicate
 from .utils.checkpoint import (
     AsyncCheckpointWriter,
     load_latest_checkpoint,
-    load_net_checkpoint,
     prune_checkpoints,
     save_checkpoint,
 )
@@ -322,21 +321,18 @@ def restore_if_available(
     if found is None:
         return state, 0, None
     path, epoch, ckpt = found
-    sched_state = None
-    if ckpt is None:  # .pth: torch interchange, re-mapped below
-        net = load_net_checkpoint(path)
-        state = state.replace(params=net["params"], batch_stats=net["batch_stats"])
-    else:
-        state = state.replace(
-            params=ckpt["net"]["params"], batch_stats=ckpt["net"]["batch_stats"]
-        )
-        sched_state = ckpt.get("scheduler")
-        if cfg.restore_optim and "optim" in ckpt:
-            from flax import serialization
+    # .pth payloads arrive pre-imported as {"net": {params, batch_stats}}
+    # (load_latest_checkpoint parses every file exactly once)
+    state = state.replace(
+        params=ckpt["net"]["params"], batch_stats=ckpt["net"]["batch_stats"]
+    )
+    sched_state = ckpt.get("scheduler")
+    if cfg.restore_optim and "optim" in ckpt:
+        from flax import serialization
 
-            state = state.replace(
-                opt_state=serialization.from_state_dict(state.opt_state, ckpt["optim"])
-            )
+        state = state.replace(
+            opt_state=serialization.from_state_dict(state.opt_state, ckpt["optim"])
+        )
     print(f"Load weights from {path}")
     return state, epoch, sched_state
 
@@ -401,12 +397,18 @@ def _run_epoch(cfg, loader, step_fn, state, lr, rng, train: bool):
         patches=patches,
         seconds=seconds,
     )
-    if cfg.selective and host:
-        stats.aux_loss = float(np.mean([float(m["aux_loss"]) for m in host]))
-        stats.sel_loss = float(np.mean([float(m["sel_loss"]) for m in host]))
-        total_pix = sum(int(m["n_pix"]) for m in host)
-        total_rej = sum(int(m["n_reject"]) for m in host)
-        stats.rejection = total_rej / total_pix if total_pix else float("nan")
+    if cfg.selective:
+        if host:
+            stats.aux_loss = float(np.mean([float(m["aux_loss"]) for m in host]))
+            stats.sel_loss = float(np.mean([float(m["sel_loss"]) for m in host]))
+            total_pix = sum(int(m["n_pix"]) for m in host)
+            total_rej = sum(int(m["n_reject"]) for m in host)
+            stats.rejection = total_rej / total_pix if total_pix else float("nan")
+        else:
+            # zero-batch epoch (e.g. drop_last with len(dataset) < batch_size):
+            # degrade to NaN like loss/acc so TB writes and the verbose
+            # summary don't crash on None
+            stats.aux_loss = stats.sel_loss = stats.rejection = float("nan")
     return state, stats, last_batch, last_metrics
 
 

@@ -187,24 +187,28 @@ def load_latest_checkpoint(ckpt_dir: str):
     """Newest loadable checkpoint, parsed ONCE.
 
     Returns ``(path, epoch, payload)`` — ``payload`` is the parsed .ckpt
-    dict, or None for a .pth (torch-interchange callers re-map those via
-    load_net_checkpoint) — or None when nothing loadable exists. Same
-    corrupt-newest fallback as latest_checkpoint, without the
-    verify-then-reload double full parse on the resume path."""
+    dict; a reference .pth is imported in place (payload ``{"net": {params,
+    batch_stats}}``), so every file is parsed exactly once — or None when
+    nothing loadable exists. Same corrupt-newest fallback as
+    latest_checkpoint. A missing torch install while a .pth is the newest
+    file raises ImportError instead of silently treating the reference
+    checkpoint as corrupt (which would restart training from epoch 0)."""
     if not os.path.isdir(ckpt_dir):
         return None
     files = [f for f in os.listdir(ckpt_dir) if f.endswith((".ckpt", ".pth"))]
     files.sort(key=_epoch_of)
     for name in reversed(files):
         path = os.path.join(ckpt_dir, name)
-        if path.endswith(".pth"):
-            if _loadable(path):
-                return path, _epoch_of(name), None
-        else:
-            try:
-                return path, _epoch_of(name), load_checkpoint(path)
-            except Exception:
-                pass
+        try:
+            if path.endswith(".pth"):
+                return path, _epoch_of(name), {"net": import_torch_checkpoint(path)}
+            return path, _epoch_of(name), load_checkpoint(path)
+        except ImportError as e:
+            raise ImportError(
+                f"resuming from the reference checkpoint {path} requires "
+                f"torch (pip install torch): {e}") from e
+        except Exception:
+            pass
         print(f"skipping unreadable checkpoint {path}")
     return None
 
@@ -218,6 +222,12 @@ def _loadable(path: str) -> bool:
         else:
             load_checkpoint(path)
         return True
+    except ImportError as e:
+        # a missing torch install is an environment problem, not file
+        # corruption — do not silently fall back past a reference .pth
+        raise ImportError(
+            f"verifying the reference checkpoint {path} requires torch "
+            f"(pip install torch): {e}") from e
     except Exception:
         return False
 

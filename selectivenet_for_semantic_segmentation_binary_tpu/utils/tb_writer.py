@@ -174,6 +174,11 @@ class SummaryWriter:
         for i, img in enumerate(images):
             if img.ndim == 3 and img.shape[2] == 1:
                 img = img[:, :, 0]
+            elif img.ndim == 3 and img.shape[2] == 2:
+                # 2-channel (GH: gray + hematoxylin) panels: PIL has no
+                # 2-band mode — render the channels side by side as one
+                # grayscale strip instead of crashing the epoch
+                img = np.concatenate([img[:, :, 0], img[:, :, 1]], axis=1)
             summary += _image_summary(f"{tag}/{i}", img)
         self._write_record(_event(time.time(), step=int(global_step), summary=summary))
 

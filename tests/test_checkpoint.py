@@ -336,3 +336,25 @@ class TestAsyncPrune:
         # sanity: a later sync prune with keep=1 leaves only the newest
         prune_checkpoints(str(tmp_path), keep=1)
         assert sorted(os.listdir(tmp_path)) == ["model_epoch4.ckpt"]
+
+
+class TestPthResumePayload:
+    def test_pth_resume_parses_once_and_returns_net(self, tmp_path):
+        """A reference .pth as the newest file resumes through the same
+        single-parse path: load_latest_checkpoint imports it in place
+        (payload {'net': {params, batch_stats}}), instead of torch.load-ing
+        it once to 'verify' and again to use."""
+        from selectivenet_for_semantic_segmentation_binary_tpu.models import UNetB
+        from selectivenet_for_semantic_segmentation_binary_tpu.utils.checkpoint import (
+            export_torch_checkpoint,
+            load_latest_checkpoint,
+        )
+
+        model = UNetB(selective=False)
+        variables = jax.device_get(
+            model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                       train=False))
+        export_torch_checkpoint(variables, str(tmp_path / "model_epoch7.pth"))
+        path, epoch, payload = load_latest_checkpoint(str(tmp_path))
+        assert epoch == 7 and path.endswith("model_epoch7.pth")
+        assert set(payload["net"]) >= {"params", "batch_stats"}

@@ -378,3 +378,60 @@ class TestHardSyntheticTree:
         b, lb = self._load(str(tmp_path))
         np.testing.assert_array_equal(la, lb)
         np.testing.assert_array_equal(a, b)
+
+
+class TestOddDecodeFallback:
+    def test_grayscale_input_decodes_to_rgb(self, tmp_path):
+        """The PIL fallback (odd files the native decoder punts) must emit
+        (H, W, 3): a grayscale or palette input otherwise breaks batch
+        stacking mid-epoch."""
+        from PIL import Image
+
+        d = tmp_path / "100x_32"
+        d.mkdir(parents=True)
+        gray = Image.fromarray(np.full((32, 32), 200, np.uint8), mode="L")
+        gray.save(str(d / "s_0_0_input.jpg"))
+        Image.fromarray(np.zeros((32, 32), np.uint8)).save(
+            str(d / "s_0_0_label.png"))
+        pairs = np.asarray([["s_0_0_input.jpg", "s_0_0_label.png"]])
+        ds = PatchDataset(str(tmp_path), pairs, patch_mag=100, patch_size=32)
+        raw_inp, _ = ds.get_raw(0)
+        assert raw_inp.shape == (32, 32, 3)
+        item = ds[0]
+        assert item["input"].shape == (32, 32, 3)
+
+
+class TestLoaderInternals:
+    def test_eval_loader_ships_no_flips(self, patch_tree):
+        """random_flip=False device_preproc batches must NOT carry a flips
+        array: an all-zero flips field would make the jitted step materialize
+        flipped copies + per-pixel selects of every eval batch for nothing."""
+        from selectivenet_for_semantic_segmentation_binary_tpu.data import (
+            PatchDataset,
+            PatchLoader,
+            construct_test,
+        )
+
+        ds = PatchDataset(patch_tree, construct_test(patch_tree, 1),
+                          patch_mag=200, patch_size=32)
+        batch = next(iter(PatchLoader(ds, 4, device_preproc=True,
+                                      random_flip=False, num_workers=2)))
+        assert "flips" not in batch
+        batch = next(iter(PatchLoader(ds, 4, device_preproc=True,
+                                      random_flip=True, num_workers=2)))
+        assert batch["flips"].shape == (4, 2)
+
+    def test_sample_shape_needs_no_decode(self, patch_tree):
+        """A pure-padding host slice must not pay a full decode per batch
+        just to read the sample shape — metadata suffices."""
+        from selectivenet_for_semantic_segmentation_binary_tpu.data import (
+            PatchDataset,
+            PatchLoader,
+            construct_test,
+        )
+
+        ds = PatchDataset(patch_tree, construct_test(patch_tree, 1),
+                          patch_mag=200, patch_size=32)
+        loader = PatchLoader(ds, 4, num_workers=2)
+        ds.get_raw = ds.__getitem__ = None  # any decode would now raise
+        assert loader._sample_shape() == (32, 32, 3)

@@ -362,3 +362,24 @@ class TestPthCheckpointEval:
         assert results["n_models"] == 1
         assert np.isfinite(results["accuracy"])
         assert "rejection_ratio" in results
+
+
+class TestLoadModelsValidation:
+    def test_arch_mismatch_raises_valueerror(self, data_dir, trained_selective):
+        """User-input validation must survive python -O: mixed or
+        count-mismatched --model_arch lists raise ValueError, not assert."""
+        ckpt_dir = f"{trained_selective}/1-fold/checkpoint"
+        cfg = EvalConfig(
+            data_dir=data_dir, test_fold=1, patch_size=32, batch_size=8,
+            model_dir=ckpt_dir, model_arch=["UNet", "UNet_B"],
+            selective=False, compute_dtype="float32", num_workers=2,
+        )
+        with pytest.raises(ValueError, match="mixed architectures"):
+            load_models(cfg)
+        cfg3 = EvalConfig(
+            data_dir=data_dir, test_fold=1, patch_size=32, batch_size=8,
+            model_dir=ckpt_dir, model_arch=["UNet_B"] * 3,
+            selective=False, compute_dtype="float32", num_workers=2,
+        )
+        with pytest.raises(ValueError, match="must match"):
+            load_models(cfg3)

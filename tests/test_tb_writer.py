@@ -91,3 +91,24 @@ class TestSummaryWriter:
             with SummaryWriter(str(log_dir / sub)) as w:
                 w.add_scalar("lr", 1e-3, 1)
         assert (log_dir / "train").is_dir() and (log_dir / "valid").is_dir()
+
+
+class TestTwoChannelPanels:
+    def test_gh_input_panels(self, tmp_path):
+        """(N, H, W, 2) GH inputs (gray + hematoxylin) must log without
+        crashing — PIL has no 2-band mode; the writer renders the channels
+        side by side as one grayscale strip."""
+        d = str(tmp_path / "gh")
+        imgs = np.zeros((1, 4, 6, 2), np.float32)
+        imgs[0, :, :, 0] = 1.0  # gray plane all-white, H plane all-black
+        with SummaryWriter(d) as w:
+            w.add_images("input", imgs, 1)
+        events = _read_events(d)
+        im = events[1].summary.value[0].image
+        assert im.colorspace == 1
+        assert im.height == 4 and im.width == 12  # channels side by side
+        from PIL import Image
+        import io
+
+        arr = np.asarray(Image.open(io.BytesIO(im.encoded_image_string)))
+        assert arr[0, 0] == 255 and arr[0, 11] == 0

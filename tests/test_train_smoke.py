@@ -197,3 +197,16 @@ def test_fleet_checkpoint_agreement_single_process():
     _fleet_checkpoint_agreement(None)
     with pytest.raises(OSError, match="disk full"):
         _fleet_checkpoint_agreement(OSError("disk full"))
+
+
+class TestDegenerateEpochs:
+    def test_zero_batch_selective_epoch_degrades_to_nan(self, data_dir, tmp_path):
+        """batch_size > len(train split) with drop_last=True yields a
+        zero-batch epoch: the selective TB scalars and verbose summary must
+        degrade to NaN like loss/acc instead of crashing on None."""
+        cfg = _cfg(data_dir, str(tmp_path / "model"), selective=True,
+                   batch_size=512, n_epoch=1, log_img=False)
+        result = train(cfg, verbose=True)
+        assert np.isnan(result["train"].loss)
+        assert np.isnan(result["train"].aux_loss)
+        assert np.isnan(result["train"].rejection)
