@@ -63,7 +63,11 @@ def confusion_matrix_update(
     flat_valid = valid.reshape(-1)
     total = flat_lab.shape[0]
 
-    chunk = 1 << 22
+    # cap the chunk at the (lane-rounded) batch size: a fixed 2^22 chunk
+    # would pad a typical 16x256x256 eval batch (1M pixels) with 3.1M
+    # invalid pixels and quadruple the one-hot/contraction work; any chunk
+    # <= 2^22 keeps the f32 accumulation exact
+    chunk = min(1 << 22, -(-total // 1024) * 1024)
     n_chunks = -(-total // chunk)
     padded = n_chunks * chunk
     if padded != total:

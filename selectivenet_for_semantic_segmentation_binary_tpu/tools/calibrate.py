@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import EvalConfig
+from ..config import EvalConfig, parse_bool
 from ..parallel.mesh import make_mesh, replicate
 from ..train_lib import device_preprocess
 
@@ -133,7 +133,7 @@ def _accumulate(loader, variables, step) -> np.ndarray:
 
 def _load_single(cfg: EvalConfig, verbose: bool = True):
     from ..models import build_model
-    from ..utils.checkpoint import latest_checkpoint, list_checkpoints, load_net_checkpoint
+    from ..utils.checkpoint import list_checkpoints, load_latest_checkpoint
 
     if not cfg.selective:
         raise ValueError("calibration requires a selective model")
@@ -146,16 +146,16 @@ def _load_single(cfg: EvalConfig, verbose: bool = True):
     # A default training run keeps EVERY epoch in the checkpoint dir; unlike
     # eval (which would ensemble them), calibration targets one model — the
     # digit-latest, matching resume semantics (net_utils.py:18-24).
-    found = latest_checkpoint(cfg.model_dir)
+    found = load_latest_checkpoint(cfg.model_dir)  # parses the winner ONCE
     if found is None:
         raise FileNotFoundError(f"no .ckpt/.pth checkpoints in {cfg.model_dir}")
-    path, epoch = found
+    path, epoch, payload = found
     n = len(list_checkpoints(cfg.model_dir))
     if verbose and n > 1:
         print(f"calibrating the digit-latest of {n} checkpoints: epoch {epoch}")
     model = build_model(cfg.model_arch[0], cfg.n_cls, cfg.selective,
                         cfg.compute_dtype)
-    return mesh, model, replicate(load_net_checkpoint(path), mesh)
+    return mesh, model, replicate(payload["net"], mesh)
 
 
 def _to_eval_space(t, single_scale: str):
@@ -280,6 +280,11 @@ def main(argv=None) -> None:
     p.add_argument("--patch_mag", type=int, default=200)
     p.add_argument("--patch_size", type=int, default=256)
     p.add_argument("--n_cls", type=int, default=2)
+    p.add_argument("--blankfield", type=parse_bool, default=False,
+                   help="apply blank-field correction — required to calibrate "
+                        "models trained with --blankfield 1 (BC/GH_BC sweep "
+                        "variants); mismatched preprocessing silently biases "
+                        "the calibrated threshold")
     p.add_argument("--batch_size", type=int, default=128)
     p.add_argument("--single_scale", default="sigmoid",
                    choices=["None", "clip", "minmax", "sigmoid"],
@@ -302,6 +307,7 @@ def main(argv=None) -> None:
         model_arch=[a.model_arch], selective=True, select_eval=True,
         input_type=a.input_type, patch_mag=a.patch_mag, patch_size=a.patch_size,
         n_cls=a.n_cls, batch_size=a.batch_size, single_scale=a.single_scale,
+        blankfield=a.blankfield,
     )
     data_list = None
     if a.split == "valid":

@@ -294,8 +294,17 @@ def run_sweep(
             # keep the parent off the (exclusive) TPU-tunnel device claim;
             # a no-op when the backend is already initialized on cpu
             jax.config.update("jax_platforms", "cpu")
-        except Exception:  # noqa: BLE001 — backend already up: see guard below
-            pass
+        except Exception:  # noqa: BLE001 — backend already initialized
+            # If the parent already holds a non-cpu backend, every isolated
+            # child would hang on its own exclusive device claim and burn
+            # the full retry budget per cell — fail immediately instead.
+            if jax.default_backend() != "cpu":
+                raise RuntimeError(
+                    "isolate_cells=True requires the parent process to stay "
+                    "off the device backend, but jax is already initialized "
+                    f"on '{jax.default_backend()}' (e.g. a prior evaluate()/"
+                    "train() call in this process). Run the sweep from a "
+                    "fresh process, or pass isolate_cells=False.")
         if jax.process_count() > 1:
             raise ValueError(
                 "isolate_cells and a multi-process fleet are exclusive; "

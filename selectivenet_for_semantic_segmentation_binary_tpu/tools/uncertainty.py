@@ -11,6 +11,7 @@ reduction — runs on device inside one jitted ``lax.map``.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Dict
 
 import jax
@@ -39,24 +40,27 @@ def mc_uncertainty(
     if rng is None:
         rng = jax.random.PRNGKey(0)
     keys = jax.random.split(rng, n_iter)
-
-    @jax.jit
-    def run(keys):
-        def fwd(key):
-            out = model.apply(
-                variables, x, train=False, mc_dropout=True, rngs={"dropout": key}
-            )
-            if selective:
-                out = out[0]
-            if out.ndim == 3:  # binary logits -> (N, H, W, 1) prob
-                return jax.nn.sigmoid(out)[..., None]
-            return jax.nn.softmax(out, axis=-1)
-
-        probs = jax.lax.map(fwd, keys)            # (T, N, H, W, C)
-        mean = jnp.mean(probs, axis=0)
-        var = jnp.var(probs, axis=0)              # per-element variance across repeats
-        conf = -jnp.mean(var, axis=-1)            # mean over classes, negated
-        return mean, var, conf
-
-    mean, var, conf = run(keys)
+    mean, var, conf = _mc_run(model, selective, variables, x, keys)
     return {"mean_prob": mean, "variance": var, "confidence": conf}
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _mc_run(model, selective, variables, x, keys):
+    """Module-level jit (model/selective static, arrays as arguments): a
+    per-call closure would retrace and recompile the n_iter-forward program
+    for every batch — the tools/wsi.py:_wsi_forward caching pattern."""
+    def fwd(key):
+        out = model.apply(
+            variables, x, train=False, mc_dropout=True, rngs={"dropout": key}
+        )
+        if selective:
+            out = out[0]
+        if out.ndim == 3:  # binary logits -> (N, H, W, 1) prob
+            return jax.nn.sigmoid(out)[..., None]
+        return jax.nn.softmax(out, axis=-1)
+
+    probs = jax.lax.map(fwd, keys)            # (T, N, H, W, C)
+    mean = jnp.mean(probs, axis=0)
+    var = jnp.var(probs, axis=0)              # per-element variance across repeats
+    conf = -jnp.mean(var, axis=-1)            # mean over classes, negated
+    return mean, var, conf

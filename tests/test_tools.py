@@ -186,6 +186,25 @@ class TestMCUncertainty:
         # dropout active -> repeats differ -> strictly negative confidence somewhere
         assert float(jnp.min(out["confidence"])) < 0.0
 
+    def test_repeated_calls_reuse_one_compile(self, rng):
+        """Per-batch MC uncertainty must not retrace: the old per-call
+        closure recompiled the n_iter-forward program for every batch (a
+        24-1128 s remote compile each on the tunnel)."""
+        from selectivenet_for_semantic_segmentation_binary_tpu.tools.uncertainty import (
+            _mc_run,
+        )
+
+        model = UNetB(selective=False, dropout_rate=0.3)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 16, 16, 3)), train=False)
+        before = _mc_run._cache_size()
+        for seed in (1, 2, 3):
+            x = jnp.asarray(
+                rng.standard_normal((1, 16, 16, 3)).astype(np.float32))
+            mc_uncertainty(model, variables, x, n_iter=4,
+                           rng=jax.random.PRNGKey(seed))
+        assert _mc_run._cache_size() == before + 1
+
     def test_no_dropout_zero_variance(self, rng):
         model = UNetB(selective=False, dropout_rate=0.0)
         variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)), train=False)
