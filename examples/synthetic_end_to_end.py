@@ -16,7 +16,6 @@ Runs the complete framework loop without any external dataset:
 """
 
 import argparse
-import glob
 import os
 import shutil
 import sys
@@ -50,7 +49,11 @@ def main() -> None:
 
     data_dir = os.path.join(args.workdir, "data")
     model_dir = os.path.join(args.workdir, "model")
-    shutil.rmtree(args.workdir, ignore_errors=True)
+    # clear only the demo's own subdirectories — an unconditional rmtree of a
+    # user-supplied --workdir (e.g. ~/experiments) would be irreversible
+    # data loss from a demo script
+    for sub in ("data", "model", "best", "results"):
+        shutil.rmtree(os.path.join(args.workdir, sub), ignore_errors=True)
 
     print("== 1/5 synthetic patch tree ==")
     write_synthetic_patch_tree(
@@ -72,10 +75,16 @@ def main() -> None:
     train(cfg)
 
     print("== 4/5 in-coverage evaluation on the held-out fold ==")
-    ckpts = sorted(glob.glob(f"{model_dir}/1-fold/checkpoint/*.ckpt"))
+    # digit sort, not lexicographic: epoch 9 would sort after epochs 10..12
+    from selectivenet_for_semantic_segmentation_binary_tpu.utils.checkpoint import (
+        latest_checkpoint,
+    )
+
+    final_ckpt = latest_checkpoint(f"{model_dir}/1-fold/checkpoint",
+                                   verify=False)[0]
     single_dir = os.path.join(args.workdir, "best")
     os.makedirs(single_dir, exist_ok=True)
-    shutil.copy(ckpts[-1], single_dir)
+    shutil.copy(final_ckpt, single_dir)
     ecfg = EvalConfig(
         data_dir=data_dir, test_fold=1, patch_size=args.patch_size,
         batch_size=args.batch_size, model_dir=single_dir,
@@ -86,7 +95,7 @@ def main() -> None:
 
     print("== 5/5 serving: seamless whole-slide heatmap ==")
     predictor = Predictor(
-        os.path.join(single_dir, os.path.basename(ckpts[-1])),
+        os.path.join(single_dir, os.path.basename(final_ckpt)),
         selective=True,
     )
     rng = np.random.default_rng(0)

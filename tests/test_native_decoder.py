@@ -115,3 +115,69 @@ class TestNativeDecoder:
         test = construct_test(patch_tree, test_fold=1)
         ds = PatchDataset(patch_tree, test, patch_size=64, decoder="pil")
         assert ds[0]["input"].shape == (64, 64, 3)
+
+
+class TestReviewRegressions:
+    @needs_native
+    def test_rgb_color_label_matches_pil(self, patch_tree, tmp_path):
+        """An RGB (color-typed) binary mask decodes through the rgb_to_gray
+        path with ITU-601 weights — identical to PIL convert('L') for the
+        0/255 masks this pipeline stores."""
+        from PIL import Image
+
+        h = w = 64
+        rng = np.random.default_rng(0)
+        mask = (rng.random((h, w)) > 0.5).astype(np.uint8) * 255
+        rgb = np.stack([mask] * 3, axis=-1)
+        lab_path = str(tmp_path / "rgb_label.png")
+        Image.fromarray(rgb, mode="RGB").save(lab_path)
+        ds = PatchDataset(patch_tree, construct_test(patch_tree, 1),
+                          patch_size=64)
+        inp_path = os.path.join(ds.patch_dir, ds.input_list[0])
+        _, lab = native_decoder.decode_patch_pair(inp_path, lab_path, 64)
+        pil = (np.asarray(Image.open(lab_path).convert("L")) / 255.0
+               ).astype(np.uint8)
+        np.testing.assert_array_equal(lab, pil)
+
+    @needs_native
+    def test_label_failure_names_label_path(self, patch_tree, tmp_path):
+        """PNG-stage error codes (-5..-8) must point the user at the label
+        file, not the JPEG."""
+        ds = PatchDataset(patch_tree, construct_test(patch_tree, 1),
+                          patch_size=64)
+        inp_path = os.path.join(ds.patch_dir, ds.input_list[0])
+        missing = str(tmp_path / "nope_label.png")
+        with pytest.raises(RuntimeError, match="nope_label.png"):
+            native_decoder.decode_patch_pair(inp_path, missing, 64)
+
+    @needs_native
+    def test_stale_library_is_refused_when_rebuild_fails(self, monkeypatch):
+        """A stale .so after a failed rebuild must degrade to PIL with a
+        warning — silently serving outdated native code can produce wrong
+        pixels with no error."""
+        import warnings as _warnings
+
+        src = os.path.join(native_decoder._NATIVE_DIR, "patch_decoder.cpp")
+        so = native_decoder._SO_PATH
+        old_lib, old_failed = native_decoder._lib, native_decoder._build_failed
+        st = os.stat(so)
+        try:
+            native_decoder._lib = None
+            native_decoder._build_failed = False
+            os.utime(so, (st.st_atime, os.path.getmtime(src) - 10))
+            monkeypatch.setattr(native_decoder, "_build", lambda: False)
+            with pytest.warns(RuntimeWarning, match="stale"):
+                assert native_decoder._load() is None
+            assert native_decoder._build_failed
+        finally:
+            os.utime(so, (st.st_atime, st.st_mtime))
+            native_decoder._lib = old_lib
+            native_decoder._build_failed = old_failed
+
+    @needs_native
+    def test_build_is_atomic_no_droppings(self, tmp_path):
+        """_build publishes via temp-file + os.replace; no .build.* leftovers
+        remain next to the library."""
+        leftovers = [f for f in os.listdir(native_decoder._NATIVE_DIR)
+                     if ".build." in f]
+        assert leftovers == []
