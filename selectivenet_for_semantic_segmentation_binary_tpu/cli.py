@@ -4,7 +4,8 @@ The reference is driven as ``python3 train.py`` / ``python3 eval.py``
 (reference README.md:28-68) and those repo-root shims are kept verbatim; this
 module additionally exposes the same drivers as installed commands
 (``snet-train``, ``snet-eval``, ``snet-split``, ``snet-sweep``,
-``snet-inspect-ckpt``, ``snet-calibrate``, ``snet-predict``, ``snet-wsi``)
+``snet-inspect-ckpt``, ``snet-calibrate``, ``snet-predict``, ``snet-wsi``,
+``snet-serve``, ``snet-export``)
 so the framework works as a pip-installed package without a checkout.
 """
 
@@ -85,5 +86,19 @@ def predict_main() -> None:
 def wsi_main() -> None:
     # single-host workbench tool (the reference's notebook ran single-process)
     from .tools.wsi import main
+
+    main()
+
+
+def serve_main() -> None:
+    # single-host serving daemon: one process owns its chips, no fleet init
+    from .tools.serve import main
+
+    main()
+
+
+def export_main() -> None:
+    # offline artifact build: single process, no fleet init
+    from .tools.export import main
 
     main()

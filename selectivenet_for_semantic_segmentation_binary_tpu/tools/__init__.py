@@ -1,5 +1,6 @@
-"""Workbench tools: data splitting, WSI stitched inference, MC uncertainty,
-checkpoint inspection, selection-threshold calibration.
+"""Workbench + serving tools: data splitting, WSI stitched inference, MC
+uncertainty, checkpoint inspection, selection-threshold calibration,
+standalone prediction, the warm HTTP server, and AOT StableHLO export.
 
 Lazy re-exports (PEP 562): importing the package must not eagerly import any
 tool (snet-split is a pure-host numpy/PIL tool and must not pay jax's
@@ -29,6 +30,11 @@ _EXPORTS = {
     "default_grid": ".sweep",
     "run_sweep": ".sweep",
     "predict_image": ".predict",
+    "PredictionService": ".serve",
+    "make_server": ".serve",
+    "export_serving": ".export",
+    "load_exported": ".export",
+    "make_serving_fn": ".export",
     "wsi_mask": ".tiled_inference",
     "mc_uncertainty": ".uncertainty",
     "make_heatmap": ".wsi",
@@ -38,8 +44,8 @@ _EXPORTS = {
 }
 
 _SUBMODULES = frozenset({
-    "calibrate", "data_split", "inspect_ckpt", "predict", "sweep",
-    "tiled_inference", "uncertainty", "wsi",
+    "calibrate", "data_split", "export", "inspect_ckpt", "predict", "serve",
+    "sweep", "tiled_inference", "uncertainty", "wsi",
 })
 
 __all__ = sorted(set(_EXPORTS) | _SUBMODULES)

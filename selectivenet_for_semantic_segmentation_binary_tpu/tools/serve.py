@@ -1,0 +1,489 @@
+"""Warm inference HTTP server (``snet-serve``).
+
+The reference has no deployment story at all — inference lives in notebook
+cells (u-net_testing.ipynb cells 6-8, 64-74) that rebuild the model and pay
+the full startup cost per run. This module is the production-serving
+counterpart: one process loads a checkpoint once, keeps the jitted BN-folded
+forward warm on the chip, and serves predictions over HTTP for as long as it
+runs.
+
+TPU-native design points (all static-shape discipline):
+
+* **Micro-batching with occupancy buckets.** Concurrent requests whose images
+  pad to the same pool-grid shape are grouped into one device batch. The
+  batch dimension is padded up to the next power of two (capped at
+  ``--max_batch``), so XLA compiles at most ``log2(max_batch)+1`` programs
+  per image shape instead of one per occupancy — critical over the axon
+  tunnel where each fresh compile costs 24 s-19 min (docs/RESULTS.md).
+* **One worker thread owns the device.** HTTP handler threads only decode
+  and enqueue; a single batcher thread runs every forward, so device
+  execution is serialized without a lock and batching happens naturally
+  under load.
+* **Warmup at startup** (``--warmup H W``): pays the first compile before
+  the server accepts traffic, so the first request is served at steady-state
+  latency.
+* **Multi-chip serving** (``--shard_chips 1``): device batches are sharded
+  on dim 0 over a 1-D mesh of all visible chips (data-parallel requests,
+  zero cross-chip communication — the same regime as
+  ``snet-predict --shard_windows``); occupancy buckets round up to a
+  multiple of the mesh size so shards stay even.
+
+Endpoints:
+
+* ``GET /healthz`` — liveness + device backend.
+* ``GET /info`` — model/server config and serving statistics (requests,
+  batches, mean occupancy, shapes seen).
+* ``POST /predict`` — request body is a JPEG/PNG image. Query parameters:
+  ``format=json|png|npz`` (default ``json``) and for ``png`` which map to
+  render: ``output=pred|selection`` (default ``pred``). ``json`` returns the
+  scalar summary (tumor_fraction, coverage); ``npz`` returns the full
+  ``prob``/``pred`` (and ``selection_prob``/``selection``) arrays.
+
+Images of any size work: each is edge-padded to the pool grid (dims
+divisible by 8) exactly like ``snet-predict`` (tools/predict.py) and the
+outputs are cropped back. GH stain conversion and blank-field correction are
+applied server-side when the checkpoint was trained that way
+(``--input_type GH`` / ``--blankfield 1``).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .predict import _load_image, _pad_to_grid
+from .tiled_inference import GRID
+
+
+def _bucket(n: int, max_batch: int) -> int:
+    """Smallest power of two >= n, capped at max_batch."""
+    b = 1
+    while b < n:
+        b *= 2
+    return min(b, max_batch)
+
+
+@dataclass
+class _Request:
+    image: np.ndarray          # (H, W, C) float32 [0, 1], already grid-padded
+    orig_hw: Tuple[int, int]   # crop target
+    done: threading.Event = field(default_factory=threading.Event)
+    result: Optional[Dict[str, np.ndarray]] = None
+    error: Optional[BaseException] = None
+
+
+@dataclass
+class ServeStats:
+    n_requests: int = 0
+    n_batches: int = 0
+    n_errors: int = 0
+    occupancy_sum: int = 0
+    padded_sum: int = 0
+    shapes: set = field(default_factory=set)
+
+    def as_dict(self) -> Dict:
+        batches = max(self.n_batches, 1)
+        return {
+            "n_requests": self.n_requests,
+            "n_batches": self.n_batches,
+            "n_errors": self.n_errors,
+            "mean_occupancy": self.occupancy_sum / batches,
+            "mean_padded_batch": self.padded_sum / batches,
+            "shapes_seen": sorted(list(self.shapes)),
+        }
+
+
+class PredictionService:
+    """Micro-batching wrapper around the serving :class:`~..predictor.Predictor`.
+
+    ``predict_one(image)`` blocks the calling thread until its request has
+    been served as part of a device batch; it is safe to call from many
+    threads concurrently (that is the point — concurrent callers share a
+    forward).
+    """
+
+    def __init__(self, predictor, max_batch: int = 8,
+                 batch_window_ms: float = 5.0,
+                 request_timeout_s: float = 1800.0, mesh=None):
+        if max_batch < 1:
+            raise ValueError(f"max_batch must be >= 1, got {max_batch}")
+        self.predictor = predictor
+        self.max_batch = int(max_batch)
+        self.batch_window_s = float(batch_window_ms) / 1000.0
+        self.request_timeout_s = float(request_timeout_s)
+        # optional 1-D device mesh: the device batch is sharded on dim 0
+        # across its chips (data-parallel requests, zero cross-chip
+        # communication — the same regime as tiled_inference --shard_windows)
+        self.mesh = mesh
+        self._n_dev = int(mesh.devices.size) if mesh is not None else 1
+        if mesh is not None:
+            from ..parallel.mesh import batch_sharding
+
+            self._sharding = batch_sharding(mesh)
+        self.stats = ServeStats()
+        self._stats_lock = threading.Lock()
+        self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
+        self._leftover: List[_Request] = []  # wrong-shape items pulled early
+        self._worker = threading.Thread(target=self._run, daemon=True,
+                                        name="snet-serve-batcher")
+        self._worker.start()
+
+    # -- public ---------------------------------------------------------------
+    def predict_one(self, image: np.ndarray) -> Dict[str, np.ndarray]:
+        """One (H, W, C) raw [0, 1] image -> {'prob', 'pred'[, 'selection_prob',
+        'selection']}, each cropped back to (H, W)."""
+        padded, h, w = _pad_to_grid(np.asarray(image, np.float32))
+        req = _Request(image=padded, orig_hw=(h, w))
+        self._queue.put(req)
+        if not req.done.wait(self.request_timeout_s):
+            raise TimeoutError(
+                f"prediction not served within {self.request_timeout_s:.0f}s "
+                "(a first-time compile on the tunnel can be slow; retry or "
+                "raise --request_timeout_s)")
+        if req.error is not None:
+            raise req.error
+        return req.result
+
+    def warmup(self, h: int, w: int, channels: int) -> None:
+        """Pay the compile for (h, w) at every occupancy bucket."""
+        img = np.zeros((h, w, channels), np.float32)
+        for b in sorted({self._padded_size(n)
+                         for n in range(1, self.max_batch + 1)}):
+            self._forward_group([_Request(image=_pad_to_grid(img)[0],
+                                          orig_hw=(h, w))
+                                 for _ in range(b)])
+
+    def close(self) -> None:
+        self._queue.put(None)
+        self._worker.join(timeout=30.0)
+
+    # -- worker ---------------------------------------------------------------
+    def _take(self, timeout: Optional[float]) -> Optional[_Request]:
+        """Next pending request: leftovers first, then the queue."""
+        if self._leftover:
+            return self._leftover.pop(0)
+        try:
+            return self._queue.get(timeout=timeout)
+        except queue.Empty:
+            return None
+
+    def _run(self) -> None:
+        while True:
+            first = self._take(timeout=None)
+            if first is None:  # close() sentinel
+                return
+            group = [first]
+            deadline = time.monotonic() + self.batch_window_s
+            mismatched: List[_Request] = []
+            while len(group) < self.max_batch:
+                rem = deadline - time.monotonic()
+                if rem <= 0:
+                    break
+                try:
+                    nxt = self._queue.get(timeout=rem)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._queue.put(None)  # re-arm the sentinel, drain group
+                    break
+                if nxt.image.shape == first.image.shape:
+                    group.append(nxt)
+                else:
+                    mismatched.append(nxt)
+            # wrong-shape requests go to the FRONT of the next iteration so a
+            # steady same-shape stream cannot starve them
+            self._leftover.extend(mismatched)
+            try:
+                self._forward_group(group)
+            except BaseException as e:  # noqa: BLE001 — delivered per request
+                with self._stats_lock:
+                    self.stats.n_errors += len(group)
+                for r in group:
+                    r.error = e
+                    r.done.set()
+
+    def _padded_size(self, n: int) -> int:
+        """Device rows for n requests: the power-of-two occupancy bucket,
+        rounded up to a multiple of the mesh size so shards stay even."""
+        b = _bucket(n, self.max_batch)
+        if self._n_dev > 1:
+            b = ((b + self._n_dev - 1) // self._n_dev) * self._n_dev
+        return b
+
+    def _forward_group(self, group: List[_Request]) -> None:
+        batch = np.stack([r.image for r in group])
+        n = len(group)
+        b = self._padded_size(n)
+        if b > n:  # occupancy padding: same compiled program for 1..b requests
+            pad = np.zeros((b - n,) + batch.shape[1:], batch.dtype)
+            batch = np.concatenate([batch, pad], axis=0)
+        if self.mesh is not None:
+            import jax
+
+            batch = jax.device_put(batch, self._sharding)
+        out = self.predictor.predict(batch)
+        with self._stats_lock:
+            self.stats.n_requests += n
+            self.stats.n_batches += 1
+            self.stats.occupancy_sum += n
+            self.stats.padded_sum += b
+            self.stats.shapes.add(batch.shape[1:3])
+        for i, r in enumerate(group):
+            h, w = r.orig_hw
+            res = {k: v[i, :h, :w] for k, v in out.items()}
+            res["prob"] = np.asarray(res["prob"], np.float32)
+            if "selection_prob" in res:
+                res["selection_prob"] = np.asarray(res["selection_prob"],
+                                                   np.float32)
+            r.result = res
+            r.done.set()
+
+
+# -- HTTP layer ----------------------------------------------------------------
+
+def make_server(service: PredictionService, host: str, port: int,
+                input_type: str = "RGB", blankfield: bool = False,
+                max_body_mb: float = 64.0, model_info: Optional[Dict] = None):
+    """Build (not start) a ThreadingHTTPServer serving ``service``."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    started = time.monotonic()
+    max_body = int(max_body_mb * 1024 * 1024)
+    info = dict(model_info or {})
+    info.update({"input_type": input_type, "blankfield": bool(blankfield),
+                 "max_batch": service.max_batch,
+                 "batch_window_ms": service.batch_window_s * 1000.0,
+                 "n_chips": service._n_dev})
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        # default logging writes every request to stderr; keep it quiet unless
+        # the server was built verbose
+        def log_message(self, fmt, *args):  # noqa: D102
+            pass
+
+        def _send(self, code: int, body: bytes, ctype: str) -> None:
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _send_json(self, code: int, obj: Dict) -> None:
+            self._send(code, json.dumps(obj).encode(), "application/json")
+
+        def do_GET(self):  # noqa: N802 — http.server API
+            path = urlparse(self.path).path
+            if path == "/healthz":
+                import jax
+
+                self._send_json(200, {
+                    "status": "ok",
+                    "backend": jax.default_backend(),
+                    "uptime_s": round(time.monotonic() - started, 3),
+                })
+            elif path == "/info":
+                with service._stats_lock:
+                    stats = service.stats.as_dict()
+                self._send_json(200, {"model": info, "stats": stats})
+            else:
+                self._send_json(404, {"error": f"unknown path {path}"})
+
+        def do_POST(self):  # noqa: N802
+            url = urlparse(self.path)
+            if url.path != "/predict":
+                self.close_connection = True
+                self._send_json(404, {"error": f"unknown path {url.path}"})
+                return
+            q = parse_qs(url.query)
+            fmt = q.get("format", ["json"])[0]
+            output = q.get("output", ["pred"])[0]
+            # any rejection issued before the body is consumed must close the
+            # connection, or the unread bytes corrupt the next keep-alive
+            # request on this socket (we are HTTP/1.1)
+            if fmt not in ("json", "png", "npz"):
+                self.close_connection = True
+                self._send_json(400, {"error": f"unknown format {fmt!r} "
+                                               "(json|png|npz)"})
+                return
+            if output not in ("pred", "selection"):
+                self.close_connection = True
+                self._send_json(400, {"error": f"unknown output {output!r} "
+                                               "(pred|selection)"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+            except ValueError:
+                length = 0
+            if length <= 0:
+                self.close_connection = True
+                self._send_json(400, {"error": "empty request body "
+                                               "(POST the image bytes)"})
+                return
+            if length > max_body:
+                self.close_connection = True
+                self._send_json(413, {"error": f"body {length} B exceeds "
+                                               f"limit {max_body} B"})
+                return
+            body = self.rfile.read(length)
+            try:
+                # PIL accepts file objects, so the predict-CLI loader works on
+                # the request body unchanged (decode + stain + blankfield)
+                image = _load_image(io.BytesIO(body), input_type, blankfield)
+            except Exception as e:  # noqa: BLE001 — client error
+                self._send_json(400, {"error": f"could not decode image: {e}"})
+                return
+            try:
+                out = service.predict_one(image)
+            except TimeoutError as e:
+                self._send_json(504, {"error": str(e)})
+                return
+            except Exception as e:  # noqa: BLE001
+                self._send_json(500, {"error": f"prediction failed: {e}"})
+                return
+            self._respond(out, fmt, output, image.shape)
+
+        def _respond(self, out: Dict[str, np.ndarray], fmt: str,
+                     output: str, shape) -> None:
+            if fmt == "json":
+                resp = {
+                    "shape": [int(shape[0]), int(shape[1])],
+                    "tumor_fraction": float(out["pred"].mean()),
+                }
+                if "selection" in out:
+                    resp["coverage"] = float(out["selection"].mean())
+                self._send_json(200, resp)
+            elif fmt == "png":
+                if output == "selection" and "selection" not in out:
+                    self._send_json(400, {"error": "output=selection needs a "
+                                                   "selective checkpoint"})
+                    return
+                from PIL import Image
+
+                arr = (out[output].astype(np.uint8) * 255)
+                buf = io.BytesIO()
+                Image.fromarray(arr).save(buf, format="PNG")
+                self._send(200, buf.getvalue(), "image/png")
+            else:  # npz
+                buf = io.BytesIO()
+                np.savez_compressed(buf, **{k: np.asarray(v)
+                                            for k, v in out.items()})
+                self._send(200, buf.getvalue(), "application/octet-stream")
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main(argv=None) -> None:
+    """CLI: python -m selectivenet_for_semantic_segmentation_binary_tpu.tools.serve"""
+    import argparse
+
+    from ..config import parse_bool
+
+    parser = argparse.ArgumentParser(
+        description="warm inference HTTP server over the serving Predictor "
+                    "(micro-batched, static-shape, BN-folded forward)")
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8500)
+    parser.add_argument("--model_path", default=None,
+                        help="one specific .ckpt/.pth checkpoint")
+    parser.add_argument("--model_dir", default=None,
+                        help="checkpoint dir: the digit-latest model_epoch{N} "
+                             "file is used (reference resume convention)")
+    parser.add_argument("--model_arch", default="UNet_B",
+                        choices=["UNet", "UNet_B"])
+    parser.add_argument("--n_cls", type=int, default=2)
+    parser.add_argument("--selective", type=parse_bool, default=False)
+    parser.add_argument("--input_type", default="RGB", choices=["RGB", "GH"])
+    parser.add_argument("--blankfield", type=parse_bool, default=False)
+    parser.add_argument("--compute_dtype", default="bfloat16")
+    parser.add_argument("--cut_off", type=float, default=0.5)
+    parser.add_argument("--s_cut_off", type=float, default=0.5)
+    parser.add_argument("--fold_bn", type=parse_bool, default=True)
+    parser.add_argument("--max_batch", type=int, default=8,
+                        help="micro-batch cap; occupancies are padded to "
+                             "powers of two up to this")
+    parser.add_argument("--shard_chips", type=parse_bool, default=False,
+                        help="shard device batches across all visible chips "
+                             "(data-parallel requests; buckets round up to "
+                             "a multiple of the chip count)")
+    parser.add_argument("--batch_window_ms", type=float, default=5.0,
+                        help="how long the batcher waits to fill a batch "
+                             "after the first request arrives")
+    parser.add_argument("--request_timeout_s", type=float, default=1800.0)
+    parser.add_argument("--max_body_mb", type=float, default=64.0)
+    parser.add_argument("--warmup", type=int, nargs=2, default=None,
+                        metavar=("H", "W"),
+                        help="compile the forward for this image size (every "
+                             "occupancy bucket) before accepting traffic — "
+                             "recommended: --warmup 256 256")
+    a = parser.parse_args(argv)
+
+    if a.max_batch < 1:
+        parser.error(f"--max_batch must be >= 1, got {a.max_batch}")
+
+    from ..utils.checkpoint import resolve_checkpoint
+
+    try:
+        ckpt = resolve_checkpoint(a.model_path, a.model_dir)
+    except ValueError as e:
+        parser.error(str(e))
+
+    from ..predictor import Predictor
+
+    predictor = Predictor(
+        ckpt, model_arch=a.model_arch, n_cls=a.n_cls, selective=a.selective,
+        compute_dtype=a.compute_dtype, cut_off=a.cut_off,
+        s_cut_off=a.s_cut_off, fold_bn=a.fold_bn,
+    )
+    mesh = None
+    if a.shard_chips:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        print(f"sharding device batches over {mesh.devices.size} chips",
+              flush=True)
+    service = PredictionService(predictor, max_batch=a.max_batch,
+                                batch_window_ms=a.batch_window_ms,
+                                request_timeout_s=a.request_timeout_s,
+                                mesh=mesh)
+    channels = 2 if a.input_type == "GH" else 3
+    if a.warmup:
+        h, w = a.warmup
+        print(f"warming up {h}x{w} (buckets up to {a.max_batch})...",
+              flush=True)
+        t0 = time.monotonic()
+        service.warmup(h, w, channels)
+        print(f"warmup done in {time.monotonic() - t0:.1f}s", flush=True)
+
+    model_info = {
+        "checkpoint": ckpt, "model_arch": a.model_arch, "n_cls": a.n_cls,
+        "selective": bool(a.selective), "compute_dtype": a.compute_dtype,
+        "cut_off": a.cut_off, "s_cut_off": a.s_cut_off,
+        "fold_bn": bool(a.fold_bn),
+    }
+    server = make_server(service, a.host, a.port, input_type=a.input_type,
+                         blankfield=a.blankfield, max_body_mb=a.max_body_mb,
+                         model_info=model_info)
+    print(f"serving {a.model_arch} (selective={bool(a.selective)}) "
+          f"on http://{a.host}:{server.server_address[1]}  "
+          f"(POST /predict, GET /healthz, GET /info)", flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        print("shutting down", flush=True)
+    finally:
+        server.server_close()
+        service.close()
+
+
+if __name__ == "__main__":
+    main()

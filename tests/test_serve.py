@@ -1,0 +1,365 @@
+"""snet-serve tests: the warm inference HTTP server (tools/serve.py).
+
+The reference has no serving story (inference is notebook cells,
+u-net_testing.ipynb); the server is a framework extension. These tests drive
+the real HTTP surface end to end on CPU with a random-init checkpoint, and
+pin the micro-batcher's grouping/occupancy-bucket semantics with a fake
+predictor whose timing is controlled.
+"""
+
+import io
+import json
+import os
+import threading
+import time
+import urllib.error
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from selectivenet_for_semantic_segmentation_binary_tpu.models import build_model
+from selectivenet_for_semantic_segmentation_binary_tpu.predictor import Predictor
+from selectivenet_for_semantic_segmentation_binary_tpu.tools.serve import (
+    PredictionService,
+    _bucket,
+    make_server,
+)
+from selectivenet_for_semantic_segmentation_binary_tpu.utils.checkpoint import (
+    save_checkpoint,
+)
+
+
+def _make_ckpt(d: str, selective: bool) -> str:
+    model = build_model("UNet_B", selective=selective, compute_dtype="float32")
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False
+    )
+    variables = jax.device_get(variables)
+    save_checkpoint(str(d), {"net": {
+        "params": variables["params"], "batch_stats": variables["batch_stats"],
+    }, "epoch": 1}, 1)
+    return os.path.join(str(d), "model_epoch1.ckpt")
+
+
+def _png_bytes(arr: np.ndarray) -> bytes:
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def _request(url, method="GET", data=None):
+    req = urllib.request.Request(url, data=data, method=method)
+    try:
+        with urllib.request.urlopen(req, timeout=180) as r:
+            return r.status, r.read(), r.headers.get("Content-Type", "")
+    except urllib.error.HTTPError as e:
+        return e.code, e.read(), e.headers.get("Content-Type", "")
+
+
+@pytest.fixture(scope="module")
+def image_arr():
+    rng = np.random.default_rng(0)
+    return (rng.random((36, 44, 3)) * 255).astype(np.uint8)  # off the 8-grid
+
+
+@pytest.fixture(scope="module")
+def served(tmp_path_factory):
+    """(base_url, service, predictor) — a live selective server on a free port."""
+    ckpt = _make_ckpt(tmp_path_factory.mktemp("serve_ckpt"), selective=True)
+    predictor = Predictor(ckpt, selective=True, compute_dtype="float32")
+    service = PredictionService(predictor, max_batch=4, batch_window_ms=10.0,
+                                request_timeout_s=300.0)
+    server = make_server(service, "127.0.0.1", 0,
+                         model_info={"model_arch": "UNet_B", "selective": True})
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    url = f"http://127.0.0.1:{server.server_address[1]}"
+    yield url, service, predictor
+    server.shutdown()
+    server.server_close()
+    service.close()
+
+
+class TestBucket:
+    def test_powers_of_two_capped(self):
+        assert _bucket(1, 8) == 1
+        assert _bucket(2, 8) == 2
+        assert _bucket(3, 8) == 4
+        assert _bucket(5, 8) == 8
+        assert _bucket(8, 8) == 8
+        assert _bucket(9, 8) == 8  # cap
+        assert _bucket(3, 1) == 1
+
+
+class TestEndpoints:
+    def test_healthz(self, served):
+        url, _, _ = served
+        code, body, ctype = _request(url + "/healthz")
+        assert code == 200 and ctype == "application/json"
+        payload = json.loads(body)
+        assert payload["status"] == "ok"
+        assert payload["backend"] == jax.default_backend()
+        assert payload["uptime_s"] >= 0
+
+    def test_info_reports_model_and_stats(self, served):
+        url, _, _ = served
+        code, body, _ = _request(url + "/info")
+        assert code == 200
+        payload = json.loads(body)
+        assert payload["model"]["selective"] is True
+        assert payload["model"]["max_batch"] == 4
+        for key in ("n_requests", "n_batches", "mean_occupancy", "shapes_seen"):
+            assert key in payload["stats"]
+
+    def test_unknown_paths_404(self, served):
+        url, _, _ = served
+        assert _request(url + "/nope")[0] == 404
+        assert _request(url + "/nope", method="POST", data=b"x")[0] == 404
+
+    def test_predict_json_matches_direct_predictor(self, served, image_arr):
+        url, _, predictor = served
+        code, body, _ = _request(url + "/predict", method="POST",
+                                 data=_png_bytes(image_arr))
+        assert code == 200
+        payload = json.loads(body)
+        assert payload["shape"] == [36, 44]
+        assert 0.0 <= payload["tumor_fraction"] <= 1.0
+        assert 0.0 <= payload["coverage"] <= 1.0
+
+        # oracle: the same image through the Predictor directly (pad + crop)
+        img = image_arr.astype(np.float32) / 255.0
+        padded = np.pad(img, ((0, 4), (0, 4), (0, 0)), mode="edge")
+        direct = predictor.predict(padded[None])
+        assert payload["tumor_fraction"] == pytest.approx(
+            float(direct["pred"][0, :36, :44].mean()), abs=1e-6)
+        assert payload["coverage"] == pytest.approx(
+            float(direct["selection"][0, :36, :44].mean()), abs=1e-6)
+
+    def test_predict_png_pred_and_selection(self, served, image_arr):
+        url, _, _ = served
+        for output in ("pred", "selection"):
+            code, body, ctype = _request(
+                url + f"/predict?format=png&output={output}", method="POST",
+                data=_png_bytes(image_arr))
+            assert code == 200 and ctype == "image/png"
+            mask = np.asarray(Image.open(io.BytesIO(body)))
+            assert mask.shape == (36, 44)  # cropped back from padded 40x48
+            assert set(np.unique(mask)) <= {0, 255}
+
+    def test_predict_npz_full_maps(self, served, image_arr):
+        url, _, predictor = served
+        code, body, ctype = _request(url + "/predict?format=npz",
+                                     method="POST", data=_png_bytes(image_arr))
+        assert code == 200 and ctype == "application/octet-stream"
+        maps = np.load(io.BytesIO(body))
+        assert set(maps.files) == {"prob", "pred", "selection_prob",
+                                   "selection"}
+        assert maps["prob"].shape == (36, 44)
+        assert maps["prob"].dtype == np.float32
+        img = image_arr.astype(np.float32) / 255.0
+        padded = np.pad(img, ((0, 4), (0, 4), (0, 0)), mode="edge")
+        direct = predictor.predict(padded[None])
+        np.testing.assert_allclose(maps["prob"],
+                                   direct["prob"][0, :36, :44], atol=1e-5)
+
+    def test_bad_requests(self, served):
+        url, _, _ = served
+        # undecodable body
+        code, body, _ = _request(url + "/predict", method="POST",
+                                 data=b"not an image")
+        assert code == 400 and b"could not decode" in body
+        # empty body
+        assert _request(url + "/predict", method="POST", data=b"")[0] == 400
+        # unknown format / output
+        assert _request(url + "/predict?format=bmp", method="POST",
+                        data=b"x")[0] == 400
+        assert _request(url + "/predict?output=prob", method="POST",
+                        data=b"x")[0] == 400
+
+    def test_stats_accumulate(self, served, image_arr):
+        url, service, _ = served
+        before = service.stats.n_requests
+        code, _, _ = _request(url + "/predict", method="POST",
+                              data=_png_bytes(image_arr))
+        assert code == 200
+        assert service.stats.n_requests == before + 1
+        assert (40, 48) in service.stats.shapes
+
+
+class TestNonSelective:
+    def test_selection_png_rejected_json_has_no_coverage(self, tmp_path,
+                                                         image_arr):
+        ckpt = _make_ckpt(tmp_path, selective=False)
+        predictor = Predictor(ckpt, selective=False, compute_dtype="float32")
+        service = PredictionService(predictor, max_batch=1)
+        server = make_server(service, "127.0.0.1", 0)
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        url = f"http://127.0.0.1:{server.server_address[1]}"
+        try:
+            code, body, _ = _request(url + "/predict", method="POST",
+                                     data=_png_bytes(image_arr))
+            assert code == 200
+            payload = json.loads(body)
+            assert "coverage" not in payload
+            code, body, _ = _request(url + "/predict?format=png&output=selection",
+                                     method="POST", data=_png_bytes(image_arr))
+            assert code == 400 and b"selective checkpoint" in body
+        finally:
+            server.shutdown()
+            server.server_close()
+            service.close()
+
+
+class _FakePredictor:
+    """Deterministic, timing-controlled stand-in: records batch shapes."""
+
+    def __init__(self, forward_s: float = 0.0, fail: bool = False):
+        self.forward_s = forward_s
+        self.fail = fail
+        self.batches = []
+
+    def predict(self, batch):
+        self.batches.append(batch.shape)
+        if self.fail:
+            raise RuntimeError("synthetic forward failure")
+        time.sleep(self.forward_s)
+        n, h, w = batch.shape[:3]
+        return {"prob": np.full((n, h, w), 0.75, np.float32),
+                "pred": np.ones((n, h, w), np.uint8)}
+
+
+class TestMicroBatcher:
+    def test_concurrent_requests_share_a_forward(self):
+        # window 50 ms, forward 300 ms: request 0's window expires before
+        # requests 1-3 arrive (t=200 ms), so they queue up while the worker
+        # is inside request 0's forward and form ONE group afterwards
+        fake = _FakePredictor(forward_s=0.3)
+        service = PredictionService(fake, max_batch=4, batch_window_ms=50.0)
+        try:
+            img = np.zeros((16, 16, 3), np.float32)
+            results = [None] * 4
+
+            def call(i):
+                results[i] = service.predict_one(img)
+
+            threads = [threading.Thread(target=call, args=(0,))]
+            threads[0].start()
+            time.sleep(0.2)  # worker is now inside the first forward
+            for i in (1, 2, 3):
+                threads.append(threading.Thread(target=call, args=(i,)))
+                threads[-1].start()
+            for t in threads:
+                t.join(timeout=30)
+            assert all(r is not None for r in results)
+            assert all(r["prob"].shape == (16, 16) for r in results)
+            # first request ran alone; the other three were grouped into ONE
+            # batch, padded to the power-of-two bucket 4
+            assert service.stats.n_batches == 2
+            assert fake.batches == [(1, 16, 16, 3), (4, 16, 16, 3)]
+            assert service.stats.occupancy_sum == 4   # 1 + 3 real requests
+            assert service.stats.padded_sum == 5      # 1 + 4 device rows
+        finally:
+            service.close()
+
+    def test_mixed_shapes_are_split_not_dropped(self):
+        # warm's 50 ms window expires before s1/b1/s2 arrive; they queue in a
+        # deterministic order while the worker is inside the warm forward,
+        # then group as [s1, s2] (b1 mismatches -> leftover, served next)
+        fake = _FakePredictor(forward_s=0.3)
+        service = PredictionService(fake, max_batch=4, batch_window_ms=50.0)
+        try:
+            small = np.zeros((16, 16, 3), np.float32)
+            big = np.zeros((24, 24, 3), np.float32)
+            results = {}
+
+            def call(name, img):
+                results[name] = service.predict_one(img)
+
+            threads = [threading.Thread(target=call, args=("warm", small))]
+            threads[0].start()
+            time.sleep(0.15)
+            for name, img in [("s1", small), ("b1", big), ("s2", small)]:
+                threads.append(threading.Thread(target=call, args=(name, img)))
+                threads[-1].start()
+                time.sleep(0.03)
+            for t in threads:
+                t.join(timeout=30)
+            assert results["s1"]["prob"].shape == (16, 16)
+            assert results["s2"]["prob"].shape == (16, 16)
+            assert results["b1"]["prob"].shape == (24, 24)
+            # the 16s grouped together; the 24 went through its own batch
+            shapes = sorted(s[1] for s in fake.batches)
+            assert shapes == [16, 16, 24]
+        finally:
+            service.close()
+
+    def test_forward_error_is_delivered_and_worker_survives(self):
+        fake = _FakePredictor(fail=True)
+        service = PredictionService(fake, max_batch=2, batch_window_ms=1.0)
+        try:
+            img = np.zeros((16, 16, 3), np.float32)
+            with pytest.raises(RuntimeError, match="synthetic forward"):
+                service.predict_one(img)
+            assert service.stats.n_errors == 1
+            fake.fail = False
+            out = service.predict_one(img)  # worker thread still alive
+            assert out["pred"].shape == (16, 16)
+        finally:
+            service.close()
+
+    def test_warmup_compiles_every_bucket(self):
+        fake = _FakePredictor()
+        service = PredictionService(fake, max_batch=4)
+        try:
+            service.warmup(16, 16, 3)
+            assert sorted(s[0] for s in fake.batches) == [1, 2, 4]
+        finally:
+            service.close()
+
+    def test_rejects_bad_max_batch(self):
+        with pytest.raises(ValueError, match="max_batch"):
+            PredictionService(_FakePredictor(), max_batch=0)
+
+
+class TestShardChips:
+    """--shard_chips: batches shard over the (virtual 8-device CPU) mesh."""
+
+    def test_buckets_round_up_to_mesh_size(self):
+        from selectivenet_for_semantic_segmentation_binary_tpu.parallel.mesh import (
+            make_mesh,
+        )
+
+        fake = _FakePredictor()
+        service = PredictionService(fake, max_batch=4, mesh=make_mesh())
+        try:
+            n_dev = len(jax.devices())
+            assert service._padded_size(1) == n_dev
+            out = service.predict_one(np.zeros((16, 16, 3), np.float32))
+            assert out["prob"].shape == (16, 16)
+            # the device batch was padded to a full even shard
+            assert fake.batches[-1][0] == n_dev
+        finally:
+            service.close()
+
+    def test_sharded_matches_single_chip(self, served, image_arr):
+        """Same checkpoint, mesh on vs off: identical probability maps."""
+        from selectivenet_for_semantic_segmentation_binary_tpu.parallel.mesh import (
+            make_mesh,
+        )
+
+        _, _, predictor = served
+        img = image_arr.astype(np.float32) / 255.0
+        sharded = PredictionService(predictor, max_batch=4, mesh=make_mesh())
+        try:
+            got = sharded.predict_one(img)
+        finally:
+            sharded.close()
+        padded = np.pad(img, ((0, 4), (0, 4), (0, 0)), mode="edge")
+        want = predictor.predict(padded[None])
+        np.testing.assert_allclose(got["prob"], want["prob"][0, :36, :44],
+                                   atol=1e-5)
+        np.testing.assert_array_equal(got["pred"], want["pred"][0, :36, :44])
