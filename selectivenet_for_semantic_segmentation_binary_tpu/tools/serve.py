@@ -33,11 +33,15 @@ Endpoints:
 * ``GET /healthz`` — liveness + device backend.
 * ``GET /info`` — model/server config and serving statistics (requests,
   batches, mean occupancy, shapes seen).
+* ``GET /metrics`` — the same counters in Prometheus text format (plus a
+  pending-requests gauge), scrape-ready.
 * ``POST /predict`` — request body is a JPEG/PNG image. Query parameters:
   ``format=json|png|npz`` (default ``json``) and for ``png`` which map to
   render: ``output=pred|selection`` (default ``pred``). ``json`` returns the
   scalar summary (tumor_fraction, coverage); ``npz`` returns the full
-  ``prob``/``pred`` (and ``selection_prob``/``selection``) arrays.
+  ``prob``/``pred`` (and ``selection_prob``/``selection``) arrays. With
+  ``--max_queue N`` set, floods past N pending requests are shed with 503 +
+  ``Retry-After`` (backpressure) instead of growing latency unboundedly.
 
 Images of any size work: each is edge-padded to the pool grid (dims
 divisible by 8) exactly like ``snet-predict`` (tools/predict.py) and the
@@ -70,6 +74,12 @@ def _bucket(n: int, max_batch: int) -> int:
     return min(b, max_batch)
 
 
+class ServerBusyError(RuntimeError):
+    """Raised by :meth:`PredictionService.predict_one` when the pending queue
+    is at ``max_queue`` — the HTTP layer maps it to 503 + ``Retry-After`` so a
+    flood degrades into fast rejections instead of unbounded latency."""
+
+
 @dataclass
 class _Request:
     image: np.ndarray          # (H, W, C) float32 [0, 1], already grid-padded
@@ -84,6 +94,7 @@ class ServeStats:
     n_requests: int = 0
     n_batches: int = 0
     n_errors: int = 0
+    n_rejected: int = 0  # backpressure 503s (max_queue exceeded)
     occupancy_sum: int = 0
     padded_sum: int = 0
     shapes: set = field(default_factory=set)
@@ -94,6 +105,7 @@ class ServeStats:
             "n_requests": self.n_requests,
             "n_batches": self.n_batches,
             "n_errors": self.n_errors,
+            "n_rejected": self.n_rejected,
             "mean_occupancy": self.occupancy_sum / batches,
             "mean_padded_batch": self.padded_sum / batches,
             "shapes_seen": sorted(list(self.shapes)),
@@ -111,11 +123,18 @@ class PredictionService:
 
     def __init__(self, predictor, max_batch: int = 8,
                  batch_window_ms: float = 5.0,
-                 request_timeout_s: float = 1800.0, mesh=None):
+                 request_timeout_s: float = 1800.0, mesh=None,
+                 max_queue: int = 0):
         if max_batch < 1:
             raise ValueError(f"max_batch must be >= 1, got {max_batch}")
+        if max_queue < 0:
+            raise ValueError(f"max_queue must be >= 0, got {max_queue}")
         self.predictor = predictor
         self.max_batch = int(max_batch)
+        # backpressure: > 0 caps the pending-request depth; predict_one then
+        # fails fast with ServerBusyError (HTTP 503) instead of queueing into
+        # unbounded latency. 0 = unbounded (the in-process API default).
+        self.max_queue = int(max_queue)
         self.batch_window_s = float(batch_window_ms) / 1000.0
         self.request_timeout_s = float(request_timeout_s)
         # optional 1-D device mesh: the device batch is sharded on dim 0
@@ -129,6 +148,7 @@ class PredictionService:
             self._sharding = batch_sharding(mesh)
         self.stats = ServeStats()
         self._stats_lock = threading.Lock()
+        self._pending = 0  # accepted but not yet completed (guarded by _stats_lock)
         self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._leftover: List[_Request] = []  # wrong-shape items pulled early
         self._worker = threading.Thread(target=self._run, daemon=True,
@@ -139,6 +159,13 @@ class PredictionService:
     def predict_one(self, image: np.ndarray) -> Dict[str, np.ndarray]:
         """One (H, W, C) raw [0, 1] image -> {'prob', 'pred'[, 'selection_prob',
         'selection']}, each cropped back to (H, W)."""
+        with self._stats_lock:
+            if self.max_queue and self._pending >= self.max_queue:
+                self.stats.n_rejected += 1
+                raise ServerBusyError(
+                    f"{self._pending} requests already pending "
+                    f"(max_queue={self.max_queue}); retry shortly")
+            self._pending += 1
         padded, h, w = _pad_to_grid(np.asarray(image, np.float32))
         req = _Request(image=padded, orig_hw=(h, w))
         self._queue.put(req)
@@ -208,6 +235,9 @@ class PredictionService:
                 for r in group:
                     r.error = e
                     r.done.set()
+            finally:
+                with self._stats_lock:
+                    self._pending -= len(group)
 
     def _padded_size(self, n: int) -> int:
         """Device rows for n requests: the power-of-two occupancy bucket,
@@ -260,6 +290,7 @@ def make_server(service: PredictionService, host: str, port: int,
     info = dict(model_info or {})
     info.update({"input_type": input_type, "blankfield": bool(blankfield),
                  "max_batch": service.max_batch,
+                 "max_queue": service.max_queue,
                  "batch_window_ms": service.batch_window_s * 1000.0,
                  "n_chips": service._n_dev})
 
@@ -271,10 +302,13 @@ def make_server(service: PredictionService, host: str, port: int,
         def log_message(self, fmt, *args):  # noqa: D102
             pass
 
-        def _send(self, code: int, body: bytes, ctype: str) -> None:
+        def _send(self, code: int, body: bytes, ctype: str,
+                  headers: Optional[Dict[str, str]] = None) -> None:
             self.send_response(code)
             self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))
+            for k, v in (headers or {}).items():
+                self.send_header(k, v)
             self.end_headers()
             self.wfile.write(body)
 
@@ -295,6 +329,38 @@ def make_server(service: PredictionService, host: str, port: int,
                 with service._stats_lock:
                     stats = service.stats.as_dict()
                 self._send_json(200, {"model": info, "stats": stats})
+            elif path == "/metrics":
+                with service._stats_lock:
+                    s = service.stats
+                    pending = service._pending
+                    lines = [
+                        "# HELP snet_requests_total requests served",
+                        "# TYPE snet_requests_total counter",
+                        f"snet_requests_total {s.n_requests}",
+                        "# HELP snet_batches_total device batches executed",
+                        "# TYPE snet_batches_total counter",
+                        f"snet_batches_total {s.n_batches}",
+                        "# HELP snet_errors_total requests failed in the forward",
+                        "# TYPE snet_errors_total counter",
+                        f"snet_errors_total {s.n_errors}",
+                        "# HELP snet_rejected_total requests shed by max_queue backpressure",
+                        "# TYPE snet_rejected_total counter",
+                        f"snet_rejected_total {s.n_rejected}",
+                        "# HELP snet_batch_occupancy_sum real requests summed over batches",
+                        "# TYPE snet_batch_occupancy_sum counter",
+                        f"snet_batch_occupancy_sum {s.occupancy_sum}",
+                        "# HELP snet_batch_padded_sum padded device rows summed over batches",
+                        "# TYPE snet_batch_padded_sum counter",
+                        f"snet_batch_padded_sum {s.padded_sum}",
+                        "# HELP snet_pending_requests accepted, not yet completed",
+                        "# TYPE snet_pending_requests gauge",
+                        f"snet_pending_requests {pending}",
+                        "# HELP snet_uptime_seconds time since server build",
+                        "# TYPE snet_uptime_seconds gauge",
+                        f"snet_uptime_seconds {time.monotonic() - started:.3f}",
+                    ]
+                self._send(200, ("\n".join(lines) + "\n").encode(),
+                           "text/plain; version=0.0.4")
             else:
                 self._send_json(404, {"error": f"unknown path {path}"})
 
@@ -344,6 +410,10 @@ def make_server(service: PredictionService, host: str, port: int,
                 return
             try:
                 out = service.predict_one(image)
+            except ServerBusyError as e:
+                self._send(503, json.dumps({"error": str(e)}).encode(),
+                           "application/json", headers={"Retry-After": "1"})
+                return
             except TimeoutError as e:
                 self._send_json(504, {"error": str(e)})
                 return
@@ -418,6 +488,12 @@ def main(argv=None) -> None:
     parser.add_argument("--batch_window_ms", type=float, default=5.0,
                         help="how long the batcher waits to fill a batch "
                              "after the first request arrives")
+    parser.add_argument("--max_queue", type=int, default=0,
+                        help="backpressure: cap on accepted-but-unserved "
+                             "requests; past it /predict fails fast with 503 "
+                             "+ Retry-After instead of queueing into "
+                             "unbounded latency. 0 = unbounded (default); "
+                             "a good production value is 4*max_batch")
     parser.add_argument("--request_timeout_s", type=float, default=1800.0)
     parser.add_argument("--max_body_mb", type=float, default=64.0)
     parser.add_argument("--warmup", type=int, nargs=2, default=None,
@@ -454,7 +530,7 @@ def main(argv=None) -> None:
     service = PredictionService(predictor, max_batch=a.max_batch,
                                 batch_window_ms=a.batch_window_ms,
                                 request_timeout_s=a.request_timeout_s,
-                                mesh=mesh)
+                                mesh=mesh, max_queue=a.max_queue)
     channels = 2 if a.input_type == "GH" else 3
     if a.warmup:
         h, w = a.warmup
@@ -475,7 +551,8 @@ def main(argv=None) -> None:
                          model_info=model_info)
     print(f"serving {a.model_arch} (selective={bool(a.selective)}) "
           f"on http://{a.host}:{server.server_address[1]}  "
-          f"(POST /predict, GET /healthz, GET /info)", flush=True)
+          f"(POST /predict, GET /healthz, GET /info, GET /metrics)",
+          flush=True)
     try:
         server.serve_forever()
     except KeyboardInterrupt:

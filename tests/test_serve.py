@@ -25,6 +25,7 @@ from selectivenet_for_semantic_segmentation_binary_tpu.models import build_model
 from selectivenet_for_semantic_segmentation_binary_tpu.predictor import Predictor
 from selectivenet_for_semantic_segmentation_binary_tpu.tools.serve import (
     PredictionService,
+    ServerBusyError,
     _bucket,
     make_server,
 )
@@ -323,6 +324,97 @@ class TestMicroBatcher:
     def test_rejects_bad_max_batch(self):
         with pytest.raises(ValueError, match="max_batch"):
             PredictionService(_FakePredictor(), max_batch=0)
+
+
+class TestBackpressure:
+    """--max_queue: floods are shed fast (ServerBusyError / HTTP 503)."""
+
+    def test_rejects_when_pending_at_cap(self):
+        fake = _FakePredictor(forward_s=0.5)
+        service = PredictionService(fake, max_batch=2, batch_window_ms=1.0,
+                                    max_queue=1)
+        try:
+            img = np.zeros((16, 16, 3), np.float32)
+            results = {}
+
+            def call():
+                results["a"] = service.predict_one(img)
+
+            t = threading.Thread(target=call)
+            t.start()
+            time.sleep(0.15)  # A accepted and inside the forward (pending=1)
+            with pytest.raises(ServerBusyError, match="max_queue=1"):
+                service.predict_one(img)
+            assert service.stats.n_rejected == 1
+            t.join(timeout=30)
+            assert results["a"]["prob"].shape == (16, 16)
+            # capacity freed: the next request is accepted again
+            out = service.predict_one(img)
+            assert out["prob"].shape == (16, 16)
+            assert service.stats.n_rejected == 1  # unchanged
+        finally:
+            service.close()
+
+    def test_rejects_bad_max_queue(self):
+        with pytest.raises(ValueError, match="max_queue"):
+            PredictionService(_FakePredictor(), max_queue=-1)
+
+    def test_http_503_with_retry_after(self, image_arr):
+        fake = _FakePredictor(forward_s=1.0)
+        service = PredictionService(fake, max_batch=2, batch_window_ms=1.0,
+                                    max_queue=1)
+        server = make_server(service, "127.0.0.1", 0)
+        thread = threading.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+        url = f"http://127.0.0.1:{server.server_address[1]}"
+        try:
+            body = _png_bytes(image_arr)
+            first = {}
+
+            def post():
+                first["resp"] = _request(f"{url}/predict", "POST", body)
+
+            t = threading.Thread(target=post)
+            t.start()
+            time.sleep(0.4)  # first request is inside the slow forward
+            req = urllib.request.Request(f"{url}/predict", data=body,
+                                         method="POST")
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(req, timeout=60)
+            assert ei.value.code == 503
+            assert ei.value.headers.get("Retry-After") == "1"
+            assert b"max_queue" in ei.value.read()
+            t.join(timeout=30)
+            assert first["resp"][0] == 200
+        finally:
+            server.shutdown()
+            server.server_close()
+            service.close()
+
+
+class TestMetricsEndpoint:
+    def test_prometheus_counters_match_info(self, served, image_arr):
+        url, service, _ = served
+        _request(f"{url}/predict", "POST", _png_bytes(image_arr))
+        code, body, ctype = _request(f"{url}/metrics")
+        assert code == 200 and ctype.startswith("text/plain")
+        text = body.decode()
+        metrics = {}
+        for line in text.splitlines():
+            if line and not line.startswith("#"):
+                k, v = line.split()
+                metrics[k] = float(v)
+        with service._stats_lock:
+            stats = service.stats.as_dict()
+        assert metrics["snet_requests_total"] == stats["n_requests"]
+        assert metrics["snet_batches_total"] == stats["n_batches"]
+        assert metrics["snet_errors_total"] == stats["n_errors"]
+        assert metrics["snet_rejected_total"] == stats["n_rejected"]
+        assert metrics["snet_pending_requests"] == 0
+        assert metrics["snet_uptime_seconds"] > 0
+        # HELP/TYPE lines present for every metric (prometheus exposition)
+        for name in metrics:
+            assert f"# TYPE {name} " in text
 
 
 class TestShardChips:
