@@ -122,7 +122,7 @@ def predict_image(
 
 
 def _save_outputs(out: Dict[str, np.ndarray], stem: str, save_dir: str,
-                  save_prob: bool, heatmap: bool) -> List[str]:
+                  save_prob: bool, heatmap: bool, n_cls: int = 2) -> List[str]:
     from PIL import Image
 
     os.makedirs(save_dir, exist_ok=True)
@@ -133,7 +133,10 @@ def _save_outputs(out: Dict[str, np.ndarray], stem: str, save_dir: str,
         Image.fromarray(arr).save(path)
         written.append(path)
 
-    _write_png("_pred.png", (out["pred"].astype(np.uint8) * 255))
+    # space CE-head class ids evenly over gray levels; binary (n_cls=2) keeps
+    # the 0/255 convention. Plain *255 wraps in uint8 for class ids >= 2.
+    scale = np.uint8(255 // max(int(n_cls) - 1, 1))
+    _write_png("_pred.png", (out["pred"].astype(np.uint8) * scale))
     if "selection" in out:
         _write_png("_selection.png", (out["selection"].astype(np.uint8) * 255))
     if heatmap:
@@ -249,7 +252,8 @@ def main(argv=None) -> None:
             stem = f"{base}_{n}"
             n += 1
         seen_stems.add((save_dir, stem))
-        _save_outputs(out, stem, save_dir, a.save_prob, a.heatmap)
+        _save_outputs(out, stem, save_dir, a.save_prob, a.heatmap,
+                      n_cls=a.n_cls)
         line = (f"{path}: {image.shape[0]}x{image.shape[1]} "
                 f"tumor_fraction={float(out['pred'].mean()):.4f}")
         if "selection" in out:

@@ -166,8 +166,15 @@ class PredictionService:
                     f"{self._pending} requests already pending "
                     f"(max_queue={self.max_queue}); retry shortly")
             self._pending += 1
-        padded, h, w = _pad_to_grid(np.asarray(image, np.float32))
-        req = _Request(image=padded, orig_hw=(h, w))
+        try:
+            padded, h, w = _pad_to_grid(np.asarray(image, np.float32))
+            req = _Request(image=padded, orig_hw=(h, w))
+        except BaseException:
+            # the slot was reserved above; a pre-enqueue failure must release
+            # it or max_queue capacity leaks away one request at a time
+            with self._stats_lock:
+                self._pending -= 1
+            raise
         self._queue.put(req)
         if not req.done.wait(self.request_timeout_s):
             raise TimeoutError(
@@ -439,7 +446,12 @@ def make_server(service: PredictionService, host: str, port: int,
                     return
                 from PIL import Image
 
-                arr = (out[output].astype(np.uint8) * 255)
+                # space CE-head class ids evenly over gray levels; binary
+                # (n_cls=2) keeps the 0/255 convention. Plain *255 would wrap
+                # in uint8 for class ids >= 2 (2 -> 254, 3 -> 253).
+                scale = (255 // max(int(info.get("n_cls", 2)) - 1, 1)
+                         if output == "pred" else 255)
+                arr = (out[output].astype(np.uint8) * np.uint8(scale))
                 buf = io.BytesIO()
                 Image.fromarray(arr).save(buf, format="PNG")
                 self._send(200, buf.getvalue(), "image/png")

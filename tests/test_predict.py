@@ -146,6 +146,17 @@ class TestPredictCLI:
         pred = np.asarray(Image.open(os.path.join(out_dir, "tile_pred.png")))
         assert pred.shape == (36, 44)
 
+    def test_multiclass_pred_png_spaces_gray_levels(self, tmp_path):
+        """n_cls > 2 pred PNGs space class ids evenly over gray levels;
+        a plain *255 would wrap in uint8 (class 2 -> 254, 3 -> 253)."""
+        out = {"pred": np.arange(4, dtype=np.int32).reshape(2, 2),
+               "prob": np.zeros((2, 2), np.float32)}
+        predict_cli._save_outputs(out, "toy", str(tmp_path), save_prob=False,
+                                  heatmap=False, n_cls=4)
+        png = np.asarray(Image.open(os.path.join(str(tmp_path),
+                                                 "toy_pred.png")))
+        assert png.tolist() == [[0, 85], [170, 255]]
+
     def test_directory_scan_skips_labels_and_outputs(self, sel_ckpt, tmp_path):
         d = tmp_path / "imgs"
         d.mkdir()

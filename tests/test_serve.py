@@ -359,6 +359,25 @@ class TestBackpressure:
         with pytest.raises(ValueError, match="max_queue"):
             PredictionService(_FakePredictor(), max_queue=-1)
 
+    def test_pre_enqueue_failure_releases_slot(self):
+        """A request that dies before enqueueing (unconvertible input) must
+        release its reserved pending slot, or max_queue capacity leaks away
+        one bad request at a time until the server rejects everything."""
+        service = PredictionService(_FakePredictor(), max_batch=2,
+                                    batch_window_ms=1.0, max_queue=1)
+        try:
+            bad = [["not-an-image"]]  # np.asarray(..., float32) raises
+            for _ in range(3):  # > max_queue: any leak would trip the cap
+                with pytest.raises(ValueError):
+                    service.predict_one(bad)
+            with service._stats_lock:
+                assert service._pending == 0
+            out = service.predict_one(np.zeros((16, 16, 3), np.float32))
+            assert out["prob"].shape == (16, 16)
+            assert service.stats.n_rejected == 0
+        finally:
+            service.close()
+
     def test_http_503_with_retry_after(self, image_arr):
         fake = _FakePredictor(forward_s=1.0)
         service = PredictionService(fake, max_batch=2, batch_window_ms=1.0,
