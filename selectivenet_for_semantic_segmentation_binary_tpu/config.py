@@ -90,6 +90,9 @@ class TrainConfig:
                                      # the next epoch (one-slot background thread)
     keep_ckpt: int = 0               # retain only the newest N .ckpt files
                                      # (0 = keep every epoch, reference behavior)
+    sp_ways: int = 1                 # spatial-parallel training: shard image
+                                     # rows sp_ways across the mesh (DP x SP);
+                                     # GSPMD inserts the conv halo exchanges
 
     @property
     def n_devices(self) -> int:
@@ -149,6 +152,7 @@ class EvalConfig:
     use_pallas: bool = True  # fused eval-metrics kernel (single-chip binary path)
     blankfield: bool = False  # blank-field white-balance preprocessing ("BC")
     device_preproc: bool = True  # ship raw uint8, normalize on device
+    sp_ways: int = 1  # spatial-parallel eval: shard image rows sp_ways (DP x SP)
 
     @property
     def n_devices(self) -> int:

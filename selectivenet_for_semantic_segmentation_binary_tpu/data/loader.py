@@ -189,6 +189,18 @@ class PatchLoader:
         batch["nvalid"] = nvalid
         return batch
 
+    def _sharding_for(self, v: np.ndarray):
+        """Per-array sharding: image-shaped arrays (input NHWC, label NHW)
+        take the full spec; low-rank per-example arrays (e.g. (N, 2) flips)
+        keep only the leading batch axis — under a 2-D DP x SP training mesh
+        the spatial axis must not shard their trailing dims."""
+        spec = getattr(self.sharding, "spec", None)
+        if spec is None or len(spec) <= 1 or v.ndim >= 3:
+            return self.sharding
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        return NamedSharding(self.sharding.mesh, PartitionSpec(spec[0]))
+
     def _transfer(self, batch):
         """device_put the array fields (sharded across the mesh / stitched
         across hosts); runs on its own pipeline stage so the H2D transfer of
@@ -198,7 +210,8 @@ class PatchLoader:
         from ..parallel.multihost import put_global
 
         out = {
-            k: put_global(v, self.sharding) if isinstance(v, np.ndarray) else v
+            k: put_global(v, self._sharding_for(v)) if isinstance(v, np.ndarray)
+            else v
             for k, v in batch.items()
         }
         return out

@@ -34,7 +34,8 @@ from .config import EvalConfig
 from .data import Compose, Normalization, PatchDataset, PatchLoader, ToArray, construct_test
 from .models import build_model
 from .ops.confusion import confusion_matrix_update
-from .parallel.mesh import batch_sharding, make_mesh, replicate
+from .parallel.mesh import (batch_sharding, make_mesh, make_mesh_dp_sp,
+                            replicate)
 from .train_lib import device_preprocess
 from .utils.checkpoint import list_checkpoints, load_net_checkpoint
 from .utils.metrics import Evaluator
@@ -270,7 +271,8 @@ def make_eval_loader(cfg: EvalConfig, mesh, data_list=None) -> PatchLoader:
 def evaluate(cfg: EvalConfig, loader: Optional[PatchLoader] = None,
              verbose: bool = True) -> Dict[str, Any]:
     """Full evaluation (reference eval.py:76-280). Returns the metric dict."""
-    mesh = make_mesh(cfg.n_devices)
+    mesh = make_mesh_dp_sp(cfg.n_devices, getattr(cfg, "sp_ways", 1),
+                           cfg.batch_size, cfg.patch_size)
     model, variables_list = load_models(cfg)
     n_models = len(variables_list)
 

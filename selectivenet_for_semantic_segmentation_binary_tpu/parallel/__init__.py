@@ -3,6 +3,7 @@
 from .mesh import (  # noqa: F401
     batch_sharding,
     make_mesh,
+    make_mesh_dp_sp,
     replicate,
     replicated_sharding,
     shard_batch,

@@ -27,6 +27,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SPATIAL_AXIS = "spatial"
 
 
 def make_mesh(n_devices: Optional[int] = None) -> Mesh:
@@ -41,8 +42,57 @@ def make_mesh(n_devices: Optional[int] = None) -> Mesh:
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Batch arrays: sharded on dim 0 across the data axis."""
+    """Batch arrays: sharded on dim 0 across the data axis; on a 2-D
+    (DATA_AXIS, SPATIAL_AXIS) training mesh additionally sharded on dim 1
+    (image rows) across the spatial axis — XLA/GSPMD then spatially
+    partitions every conv with automatic halo exchange, preserving the
+    global-batch loss/BN semantics bit-for-bit up to fp reduction order
+    (tests/test_spatial_train.py)."""
+    if SPATIAL_AXIS in mesh.axis_names:
+        return NamedSharding(mesh, P(DATA_AXIS, SPATIAL_AXIS))
     return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def make_mesh_dp_sp(n_devices: Optional[int], sp_ways: int,
+                    batch_size: int, patch_size: int) -> Mesh:
+    """The train/eval device mesh: 1-D data-parallel by default; ``sp_ways s``
+    builds the 2-D (DATA_AXIS, SPATIAL_AXIS) mesh instead, and
+    ``batch_sharding`` then shards batches (dp, sp) on (examples, image
+    rows). The jitted step itself is unchanged — it runs over global arrays,
+    so XLA/GSPMD spatially partitions every conv with automatic halo exchange
+    and the global-batch loss/BN semantics are preserved by construction
+    (the segmentation analog of sequence parallelism, SURVEY.md §2.2; trains
+    patches too large for one chip's HBM). Divisibility is validated here so
+    CLI errors are actionable."""
+    sp = int(sp_ways or 1)
+    if sp <= 1:
+        mesh = make_mesh(n_devices)
+        if batch_size % mesh.devices.size != 0:
+            raise ValueError(
+                f"batch_size {batch_size} must be divisible by the mesh "
+                f"size {mesh.devices.size}"
+            )
+        return mesh
+    if jax.process_count() > 1:
+        raise ValueError("--sp_ways > 1 is single-process for now: the "
+                         "multi-host loader slices global batches by rows "
+                         "of examples, not rows of pixels")
+    n = len(jax.devices()) if n_devices is None else min(n_devices,
+                                                         len(jax.devices()))
+    if n % sp != 0:
+        raise ValueError(f"sp_ways {sp} must divide the device count {n}")
+    dp = n // sp
+    if batch_size % dp != 0:
+        raise ValueError(f"batch_size {batch_size} must be divisible by "
+                         f"the data-parallel ways {dp} (= {n} devices / "
+                         f"sp_ways {sp})")
+    if patch_size % (8 * sp) != 0:
+        # 8 = 2^#pools: keeps every pool/upconv stage row-aligned per shard
+        raise ValueError(f"patch_size {patch_size} must be divisible by "
+                         f"8 * sp_ways = {8 * sp}")
+    from .spatial import make_mesh_2d
+
+    return make_mesh_2d(dp, sp)
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:

@@ -36,7 +36,7 @@ try:
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
-from .mesh import DATA_AXIS
+from .mesh import DATA_AXIS, SPATIAL_AXIS
 
 
 def _halo_exchange_rows(x: jax.Array, axis_name: str) -> jax.Array:
@@ -152,9 +152,6 @@ def spatial_forward(
     x = jax.device_put(x, NamedSharding(mesh, P(None, DATA_AXIS, None, None)))
     out = sharded(params, stats, x)
     return out if selective else out[0]
-
-
-SPATIAL_AXIS = "spatial"
 
 
 def make_mesh_2d(batch_ways: int, spatial_ways: int) -> Mesh:

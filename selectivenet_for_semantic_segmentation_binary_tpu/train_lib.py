@@ -52,7 +52,8 @@ from .ops import (
 )
 from .ops.confusion import PAD_LABEL, confusion_matrix_update
 from .optim import build_optimizer, build_scheduler
-from .parallel.mesh import batch_sharding, make_mesh, replicate
+from .parallel.mesh import (batch_sharding, make_mesh, make_mesh_dp_sp,
+                            replicate)
 from .utils.checkpoint import (
     AsyncCheckpointWriter,
     load_latest_checkpoint,
@@ -510,12 +511,8 @@ def make_loaders(cfg: TrainConfig, mesh) -> Tuple[PatchLoader, PatchLoader]:
 
 def train(cfg: TrainConfig, loaders=None, verbose: bool = True) -> Dict[str, Any]:
     """Full training run (reference train.py:57-357). Returns final stats."""
-    mesh = make_mesh(cfg.n_devices)
-    if cfg.batch_size % mesh.devices.size != 0:
-        raise ValueError(
-            f"batch_size {cfg.batch_size} must be divisible by the mesh size "
-            f"{mesh.devices.size}"
-        )
+    mesh = make_mesh_dp_sp(cfg.n_devices, getattr(cfg, "sp_ways", 1),
+                           cfg.batch_size, cfg.patch_size)
 
     model = build_model(cfg.model_arch, cfg.n_cls, cfg.selective,
                         cfg.compute_dtype, cfg.dropout_rate,
