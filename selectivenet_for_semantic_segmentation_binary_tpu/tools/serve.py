@@ -565,13 +565,29 @@ def main(argv=None) -> None:
           f"on http://{a.host}:{server.server_address[1]}  "
           f"(POST /predict, GET /healthz, GET /info, GET /metrics)",
           flush=True)
+
+    # Graceful SIGTERM (the orchestrator stop signal): stop accepting, let
+    # in-flight requests finish (server_close joins handler threads), drain
+    # the batcher, exit 0. The default abrupt death would kill the process
+    # mid-device-execution — which can wedge the TPU tunnel's device claim
+    # for minutes (CLAUDE.md hazard) — and drop accepted requests on the
+    # floor. shutdown() must run off the serve_forever thread or it
+    # deadlocks, hence the helper thread.
+    import signal
+
+    def _graceful(signum, frame):  # noqa: ARG001 — signal API
+        print("SIGTERM: draining in-flight requests...", flush=True)
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _graceful)
     try:
         server.serve_forever()
     except KeyboardInterrupt:
         print("shutting down", flush=True)
     finally:
-        server.server_close()
-        service.close()
+        server.server_close()   # joins in-flight handler threads
+        service.close()         # drains the micro-batcher worker
+        print("drained, bye", flush=True)
 
 
 if __name__ == "__main__":

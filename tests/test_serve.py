@@ -411,6 +411,86 @@ class TestBackpressure:
             service.close()
 
 
+class TestGracefulShutdown:
+    def test_shutdown_completes_inflight_request(self, image_arr):
+        """The drain sequence (shutdown -> server_close joins handler threads
+        -> service.close) must deliver an in-flight request, not drop it."""
+        fake = _FakePredictor(forward_s=0.5)
+        service = PredictionService(fake, max_batch=2, batch_window_ms=1.0)
+        server = make_server(service, "127.0.0.1", 0)
+        thread = threading.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+        url = f"http://127.0.0.1:{server.server_address[1]}"
+        result = {}
+
+        def post():
+            result["resp"] = _request(f"{url}/predict", "POST",
+                                      _png_bytes(image_arr))
+
+        t = threading.Thread(target=post)
+        t.start()
+        deadline = time.time() + 10
+        while time.time() < deadline:  # wait until the request is accepted
+            with service._stats_lock:
+                if service._pending >= 1:
+                    break
+            time.sleep(0.02)
+        else:
+            pytest.fail("request never reached the service")
+        server.shutdown()
+        server.server_close()  # joins the in-flight handler thread
+        service.close()
+        t.join(timeout=30)
+        assert result["resp"][0] == 200
+
+    def test_sigterm_drains_and_exits_zero(self, tmp_path):
+        """SIGTERM (the orchestrator stop signal) must drain and exit 0, not
+        die abruptly — an abrupt kill mid-device-execution can wedge the TPU
+        tunnel's device claim (CLAUDE.md hazard) and drops accepted requests."""
+        import signal
+        import subprocess
+        import sys
+
+        ckpt = _make_ckpt(tmp_path, selective=False)
+        code = (
+            "import jax; jax.config.update('jax_platforms', 'cpu');\n"
+            "from selectivenet_for_semantic_segmentation_binary_tpu.tools."
+            "serve import main;\n"
+            f"main(['--model_path', {str(ckpt)!r}, '--port', '0', "
+            "'--compute_dtype', 'float32'])"
+        )
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+        env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+        p = subprocess.Popen([sys.executable, "-c", code],
+                             stdout=subprocess.PIPE,
+                             stderr=subprocess.STDOUT, env=env, text=True)
+        lines = []
+        started = threading.Event()
+
+        def _read():
+            for line in p.stdout:
+                lines.append(line)
+                if "serving UNet_B" in line:
+                    started.set()
+
+        reader = threading.Thread(target=_read, daemon=True)
+        reader.start()
+        try:
+            assert started.wait(180), f"server never started: {lines}"
+            time.sleep(0.2)
+            p.send_signal(signal.SIGTERM)
+            assert p.wait(timeout=60) == 0
+            reader.join(timeout=10)
+            out = "".join(lines)
+            assert "draining in-flight requests" in out
+            assert "drained, bye" in out
+        finally:
+            if p.poll() is None:
+                p.kill()
+
+
 class TestMetricsEndpoint:
     def test_prometheus_counters_match_info(self, served, image_arr):
         url, service, _ = served
