@@ -93,6 +93,11 @@ class TrainConfig:
     sp_ways: int = 1                 # spatial-parallel training: shard image
                                      # rows sp_ways across the mesh (DP x SP);
                                      # GSPMD inserts the conv halo exchanges
+    remat: bool = False              # rematerialize the forward in backward
+                                     # (jax.checkpoint over the loss fn):
+                                     # trades ~10% throughput at 256px for a
+                                     # much smaller activation footprint —
+                                     # the huge-patch enabler next to sp_ways
 
     @property
     def n_devices(self) -> int:

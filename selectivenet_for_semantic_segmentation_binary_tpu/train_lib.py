@@ -209,6 +209,7 @@ class _StepKey(NamedTuple):
     dropout_rate: float
     log_img: bool
     output_scale: str
+    remat: bool
 
 
 def _step_key(cfg: TrainConfig) -> _StepKey:
@@ -217,6 +218,7 @@ def _step_key(cfg: TrainConfig) -> _StepKey:
         target_coverage=float(cfg.target_coverage), n_cls=int(cfg.n_cls),
         drop_last=bool(cfg.drop_last), dropout_rate=float(cfg.dropout_rate),
         log_img=bool(cfg.log_img), output_scale=cfg.output_scale,
+        remat=bool(getattr(cfg, "remat", False)),
     )
 
 
@@ -248,8 +250,17 @@ def _build_train_step(model, cfg: _StepKey, tx) -> Callable:
             loss, extras, output, selection = _losses(cfg, outputs, label, mask=mask)
             return loss, (mutated["batch_stats"], extras, output, selection)
 
+        if cfg.remat:
+            # rematerialize: save only the step inputs, recompute the whole
+            # forward inside the backward pass. Costs ~10% throughput at
+            # batch-128/256px (measured, docs/RESULTS.md round-3 lever sweep)
+            # but collapses the live activation footprint — the HBM enabler
+            # for huge patches, alone or together with --sp_ways.
+            loss_fn_for_grad = jax.checkpoint(loss_fn)
+        else:
+            loss_fn_for_grad = loss_fn
         (loss, (new_stats, extras, output, selection)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
+            loss_fn_for_grad, has_aux=True
         )(state.params)
 
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
@@ -438,13 +449,19 @@ def _log_epoch_images(writer, cfg, batch, metrics, epoch):
     # PAD_LABEL=255 rows of a padded partial batch would wrap under the
     # uint8 *255 scaling (255*255 -> 1); render padding as background
     label = np.where(label == PAD_LABEL, 0, label)
-    writer.add_images("label", np.expand_dims((label * 255).astype(np.uint8), -1), epoch)
+    # space CE-head class ids evenly over gray levels (binary keeps 0/255);
+    # a flat *255 wraps in uint8 for class ids >= 2 (same fix as snet-predict)
+    scale = np.uint8(255 // max(int(cfg.n_cls) - 1, 1))
+    writer.add_images("label",
+                      np.expand_dims(label.astype(np.uint8) * scale, -1), epoch)
     if "pred" in metrics:
         pred = np.asarray(jax.device_get(metrics["pred"]))[:5]
-        writer.add_images("pred", np.expand_dims((pred * 255).astype(np.uint8), -1), epoch)
+        writer.add_images("pred",
+                          np.expand_dims(pred.astype(np.uint8) * scale, -1), epoch)
     if "selection" in metrics:
         sel = np.asarray(jax.device_get(metrics["selection"]))[:5]
-        writer.add_images("selection", np.expand_dims((sel * 255).astype(np.uint8), -1), epoch)
+        writer.add_images("selection",
+                          np.expand_dims((sel * 255).astype(np.uint8), -1), epoch)
 
 
 def make_loaders(cfg: TrainConfig, mesh) -> Tuple[PatchLoader, PatchLoader]:

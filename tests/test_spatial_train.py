@@ -123,6 +123,53 @@ class TestStepEquivalence:
                 replicated_sharding(mesh), ndim=leaf.ndim)
 
 
+class TestRemat:
+    """--remat (jax.checkpoint over the loss fn) recomputes the forward in
+    the backward pass; the math is identical ops in the same dtype, so losses
+    and updated params must match the non-remat step exactly (it is a
+    memory/throughput trade, never a numerics change). Composes with sp_ways
+    (the huge-patch pairing: rows sharded across chips + lean activations)."""
+
+    def _run(self, remat, mesh, x, y, n_steps=3):
+        cfg = TrainConfig(
+            model_arch="UNet_B", selective=True, loss="BCElogit", s_lamb=2.0,
+            batch_size=x.shape[0], patch_size=x.shape[1],
+            compute_dtype="float32", optim="SGD", remat=remat,
+        )
+        model = build_model(cfg.model_arch, cfg.n_cls, cfg.selective,
+                            cfg.compute_dtype)
+        tx = build_optimizer(cfg)
+        state = replicate(create_state(cfg, model, tx, jax.random.PRNGKey(0)),
+                          mesh)
+        step = make_train_step(model, cfg, tx)
+        batch = _sharded_batch(x, y, mesh)
+        losses = []
+        for _ in range(n_steps):
+            state, metrics = step(state, batch, 1e-3, jax.random.PRNGKey(1))
+            losses.append(float(metrics["loss"]))
+        return losses, state
+
+    def test_remat_step_is_numerically_identical(self, rng):
+        x = rng.standard_normal((4, 32, 32, 3)).astype(np.float32)
+        y = (x[..., 0] > 0).astype(np.int32)
+        mesh = make_mesh_dp_sp(4, 1, 4, 32)
+        base_losses, base_state = self._run(False, mesh, x, y)
+        rm_losses, rm_state = self._run(True, mesh, x, y)
+        assert rm_losses == base_losses  # same ops, same dtype: bit-equal
+        for la, lb in zip(jax.tree_util.tree_leaves(base_state.params),
+                          jax.tree_util.tree_leaves(rm_state.params)):
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                       rtol=1e-6, atol=1e-7)
+
+    def test_remat_composes_with_sp_ways(self, rng):
+        x = rng.standard_normal((4, 32, 32, 3)).astype(np.float32)
+        y = (x[..., 0] > 0).astype(np.int32)
+        base, _ = self._run(False, make_mesh_dp_sp(4, 1, 4, 32), x, y)
+        sp_rm, _ = self._run(True, make_mesh_dp_sp(8, 4, 4, 32), x, y)
+        for a, b in zip(base, sp_rm):
+            assert b == pytest.approx(a, rel=1e-4)
+
+
 class TestPublicTrainEntry:
     @pytest.fixture(scope="class")
     def data_dir(self, tmp_path_factory):
