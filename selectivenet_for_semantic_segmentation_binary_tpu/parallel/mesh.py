@@ -74,9 +74,23 @@ def make_mesh_dp_sp(n_devices: Optional[int], sp_ways: int,
             )
         return mesh
     if jax.process_count() > 1:
-        raise ValueError("--sp_ways > 1 is single-process for now: the "
-                         "multi-host loader slices global batches by rows "
-                         "of examples, not rows of pixels")
+        # Multi-host SP is supported when every process's local devices tile
+        # whole (dp-row x all-sp-columns) rectangles of the 2-D mesh — i.e.
+        # sp divides the local device count. Then each process still owns a
+        # contiguous slice of EXAMPLES with full images (pixel-row sharding
+        # happens between its own chips), so PatchLoader's contiguous
+        # 1/process_count example slicing and put_global assembly are correct
+        # unchanged; the layout is verified below, not assumed. sp spanning
+        # processes would need pixel-row-sliced host decode — rejected.
+        if n_devices is not None and n_devices < len(jax.devices()):
+            raise ValueError("--sp_ways > 1 on a fleet must use all devices: "
+                             f"n_devices {n_devices} < {len(jax.devices())}")
+        if jax.local_device_count() % sp != 0:
+            raise ValueError(
+                f"--sp_ways {sp} must divide the per-process device count "
+                f"{jax.local_device_count()} on a multi-process fleet (an "
+                "sp group spanning processes would shard pixel rows across "
+                "hosts, which the host loader does not slice)")
     n = len(jax.devices()) if n_devices is None else min(n_devices,
                                                          len(jax.devices()))
     if n % sp != 0:
@@ -92,7 +106,25 @@ def make_mesh_dp_sp(n_devices: Optional[int], sp_ways: int,
                          f"8 * sp_ways = {8 * sp}")
     from .spatial import make_mesh_2d
 
-    return make_mesh_2d(dp, sp)
+    mesh = make_mesh_2d(dp, sp)
+    if jax.process_count() > 1:
+        # Verify (don't assume) the process->mesh layout the loader relies
+        # on: every dp row lives on ONE process, and the dp rows of process
+        # p are exactly the contiguous block matching its contiguous example
+        # slice. Holds for jax.devices()' process-major ordering; if a
+        # backend ever orders differently, fail loudly instead of silently
+        # training on permuted data.
+        grid = mesh.devices  # (dp, sp) of Devices
+        row_procs = [{d.process_index for d in row} for row in grid]
+        if any(len(s) != 1 for s in row_procs):
+            raise ValueError("--sp_ways mesh layout error: a spatial row "
+                             "spans processes; device ordering is not "
+                             "process-major on this backend")
+        flat = [next(iter(s)) for s in row_procs]
+        if flat != sorted(flat):
+            raise ValueError("--sp_ways mesh layout error: process blocks "
+                             "are not contiguous over the data axis")
+    return mesh
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:

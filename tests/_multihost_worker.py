@@ -5,7 +5,13 @@ collectives stitch them into one 8-device global mesh, so the SAME train step
 and loader semantics run as a genuine multi-host fleet (process-sliced decode
 + jax.make_array_from_process_local_data assembly, parallel/multihost.py).
 
-Usage: python _multihost_worker.py <pid> <nproc> <port> <data_dir> <out_json>
+Usage: python _multihost_worker.py <pid> <nproc> <port> <data_dir> \
+           [--sp_ways N] <out_json>
+
+``--sp_ways N``: lay the same 8 global devices out as a 2-D (dp, sp) mesh
+(parallel/mesh.py make_mesh_dp_sp) so the fleet run additionally shards image
+rows across each process's local devices — the multi-host spatial-parallel
+training regime. The parent asserts its loss trajectory matches plain dp8.
 """
 
 import json
@@ -14,8 +20,14 @@ import sys
 
 
 def main() -> None:
-    pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
-    data_dir, out_path = sys.argv[4], sys.argv[5]
+    argv = list(sys.argv[1:])
+    sp_ways = 1
+    if "--sp_ways" in argv:
+        i = argv.index("--sp_ways")
+        sp_ways = int(argv[i + 1])
+        del argv[i : i + 2]
+    pid, nproc, port = int(argv[0]), int(argv[1]), argv[2]
+    data_dir, out_path = argv[3], argv[4]
 
     os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
@@ -30,9 +42,6 @@ def main() -> None:
             process_id=pid,
         )
 
-    import numpy as np
-    from jax.sharding import Mesh
-
     from selectivenet_for_semantic_segmentation_binary_tpu.config import TrainConfig
     from selectivenet_for_semantic_segmentation_binary_tpu.data import (
         PatchDataset,
@@ -42,8 +51,8 @@ def main() -> None:
     from selectivenet_for_semantic_segmentation_binary_tpu.models import build_model
     from selectivenet_for_semantic_segmentation_binary_tpu.optim import build_optimizer
     from selectivenet_for_semantic_segmentation_binary_tpu.parallel.mesh import (
-        DATA_AXIS,
         batch_sharding,
+        make_mesh_dp_sp,
         replicate,
     )
     from selectivenet_for_semantic_segmentation_binary_tpu.train_lib import (
@@ -52,13 +61,14 @@ def main() -> None:
     )
 
     assert len(jax.devices()) == 8, f"expected 8 global devices, {len(jax.devices())}"
-    mesh = Mesh(np.asarray(jax.devices()), (DATA_AXIS,))
 
     cfg = TrainConfig(
         data_dir=data_dir, fold=1, model_arch="UNet_B", selective=True,
         loss="BCElogit", s_lamb=2.0, compute_dtype="float32",
         batch_size=8, patch_size=32, drop_last=True, seed=42,
+        sp_ways=sp_ways,
     )
+    mesh = make_mesh_dp_sp(None, sp_ways, cfg.batch_size, cfg.patch_size)
     train_list, _ = construct_train_valid(data_dir, test_fold=1, seed=cfg.seed)
     ds = PatchDataset(data_dir, train_list, cfg.patch_mag, cfg.patch_size, "RGB")
     loader = PatchLoader(

@@ -98,6 +98,33 @@ def test_two_process_fleet_matches_single_process(tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_spatial_fleet_matches_single_process(tmp_path):
+    """Multi-host --sp_ways: a 2-process fleet laying the SAME 8 global
+    devices out as a (dp4, sp2) mesh — each process's 4 local devices tile
+    whole (dp-row x all-sp) rectangles, so hosts still decode contiguous
+    EXAMPLE slices while image rows shard between each host's own devices
+    (parallel/mesh.py make_mesh_dp_sp, multi-process branch). The objective
+    must match plain single-process dp8: sharding layout and host count are
+    both invisible to the loss (the fleet extension of
+    test_spatial_train.py's layout-independence)."""
+    data_dir = str(tmp_path / "data")
+    write_synthetic_patch_tree(data_dir, n_slides=3, patches_per_slide=12,
+                               patch_size=32, seed=5)
+
+    multi_sp = _run_fleet(2, data_dir, str(tmp_path / "multi_sp.json"),
+                          extra_args=("--sp_ways", "2"))
+    single = _run_fleet(1, data_dir, str(tmp_path / "single.json"))
+
+    assert len(multi_sp["losses"]) == 2
+    # same tolerance rationale as the dp8 fleet test above: step 2 inherits
+    # fp32 reduction-order drift from gloo + GSPMD halo partials
+    np.testing.assert_allclose(multi_sp["losses"], single["losses"],
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(multi_sp["coverages"], single["coverages"],
+                               rtol=1e-3, atol=1e-5)
+
+
+@pytest.mark.slow
 def test_sweep_and_calibrate_fleet_semantics(tmp_path):
     """The tools layer under a REAL 2-process fleet: run_sweep's broadcast
     cache hit/miss decision (_fleet_cache_decision), host-0-only row-cache /
