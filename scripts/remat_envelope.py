@@ -10,7 +10,8 @@ recipe scaled up in patch size) with remat on or off, runs it on the real
 chip, and prints ONE JSON line:
 
     {"patch": P, "batch": N, "remat": bool, "ok": bool,
-     "patches256_per_sec": float | null, "error": str | null}
+     "patches256_per_sec": float | null, "loss": float (ok cells only),
+     "error": str | null}
 
 patches256_per_sec is pixel throughput normalized to 256x256-patch
 equivalents (pixels/s / 256^2) so cells of different patch sizes compare
@@ -28,10 +29,11 @@ session (CLAUDE.md hazards).
 """
 
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import numpy as np

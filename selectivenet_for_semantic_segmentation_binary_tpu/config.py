@@ -23,6 +23,27 @@ from dataclasses import dataclass, field
 from typing import List, Optional
 
 
+def validate_output_dim(cfg) -> None:
+    """Reject non-default ``--output_dim`` loudly (docs/PARITY.md).
+
+    The reference's flag selected its host torch->numpy conversion convention
+    (reference train.py:141-144, eval.py:166-168: NCHW transpose+squeeze vs
+    NHW passthrough). Outputs here are natively (N, H, W) / (N, H, W, C) and
+    metrics are layout-independent, so there is nothing for 'NCHW' to select —
+    and a flag that silently does nothing corrupts experiment conclusions, so
+    it is an error rather than a no-op. Called by both drivers (train_lib.train,
+    eval_lib.evaluate) so library users constructing configs directly get the
+    same guard as the CLIs."""
+    val = getattr(cfg, "output_dim", "NHW")
+    if val not in ("NHW", None):
+        raise ValueError(
+            f"--output_dim {val!r} is not supported: outputs are NHWC-native "
+            "and the reference's NCHW/NHW switch only chose its host numpy "
+            "conversion (reference train.py:141-144). Remove the flag (or "
+            "pass NHW); CE-head class maps are returned (N, H, W, C) "
+            "regardless (docs/PARITY.md).")
+
+
 def parse_bool(v) -> bool:
     """Lenient bool parser replacing the reference's ``type=bool`` footgun."""
     if isinstance(v, bool):
@@ -51,7 +72,9 @@ class TrainConfig:
     selective: bool = False
     s_lamb: float = 2.0              # lambda of the coverage constraint
     target_coverage: float = 0.8     # selective_loss.py:24 default
-    output_dim: str = "NHW"          # 'NCHW' | 'NHW' (reference output convention)
+    output_dim: str = "NHW"          # reference output convention; only the
+                                     # default 'NHW' is accepted — 'NCHW' is
+                                     # rejected loudly (validate_output_dim)
     output_scale: str = "sigmoid"    # 'None' | 'clip' | 'sigmoid' | 'minmax'
 
     optim: str = "Adam"              # 'Adam' | 'SGD'
@@ -190,6 +213,10 @@ def parse_train_args(argv=None) -> TrainConfig:
     cfg = TrainConfig(**vars(ns))
     if cfg.lr_sche in ("None", "none", ""):
         cfg.lr_sche = None
+    try:
+        validate_output_dim(cfg)  # fail at parse time, before any device work
+    except ValueError as e:
+        parser.error(str(e))
     return cfg
 
 
@@ -205,4 +232,8 @@ def parse_eval_args(argv=None) -> EvalConfig:
     cfg = EvalConfig(**d)
     if fold is not None:
         cfg.test_fold = fold
+    try:
+        validate_output_dim(cfg)
+    except ValueError as e:
+        parser.error(str(e))
     return cfg

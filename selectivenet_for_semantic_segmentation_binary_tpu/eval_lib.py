@@ -271,6 +271,9 @@ def make_eval_loader(cfg: EvalConfig, mesh, data_list=None) -> PatchLoader:
 def evaluate(cfg: EvalConfig, loader: Optional[PatchLoader] = None,
              verbose: bool = True) -> Dict[str, Any]:
     """Full evaluation (reference eval.py:76-280). Returns the metric dict."""
+    from .config import validate_output_dim
+
+    validate_output_dim(cfg)
     mesh = make_mesh_dp_sp(cfg.n_devices, getattr(cfg, "sp_ways", 1),
                            cfg.batch_size, cfg.patch_size)
     model, variables_list = load_models(cfg)

@@ -108,23 +108,37 @@ def make_mesh_dp_sp(n_devices: Optional[int], sp_ways: int,
 
     mesh = make_mesh_2d(dp, sp)
     if jax.process_count() > 1:
-        # Verify (don't assume) the process->mesh layout the loader relies
-        # on: every dp row lives on ONE process, and the dp rows of process
-        # p are exactly the contiguous block matching its contiguous example
-        # slice. Holds for jax.devices()' process-major ordering; if a
-        # backend ever orders differently, fail loudly instead of silently
-        # training on permuted data.
-        grid = mesh.devices  # (dp, sp) of Devices
-        row_procs = [{d.process_index for d in row} for row in grid]
-        if any(len(s) != 1 for s in row_procs):
-            raise ValueError("--sp_ways mesh layout error: a spatial row "
-                             "spans processes; device ordering is not "
-                             "process-major on this backend")
-        flat = [next(iter(s)) for s in row_procs]
-        if flat != sorted(flat):
-            raise ValueError("--sp_ways mesh layout error: process blocks "
-                             "are not contiguous over the data axis")
+        _verify_fleet_sp_layout(mesh.devices)
     return mesh
+
+
+def _verify_fleet_sp_layout(grid) -> None:
+    """Verify (don't assume) the process->mesh layout the loader relies on:
+    every dp row lives on ONE process; the dp rows of process p are exactly
+    the contiguous block matching its contiguous example slice; and every
+    process owns an EQUAL number of dp rows (the loader slices every global
+    batch into uniform 1/process_count example blocks — a heterogeneous
+    fleet would otherwise fail later and less legibly inside
+    make_array_from_process_local_data). Holds for jax.devices()'
+    process-major ordering; if a backend ever orders differently, fail
+    loudly instead of silently training on permuted data.
+
+    ``grid``: the (dp, sp) device array of the 2-D mesh.
+    """
+    row_procs = [{d.process_index for d in row} for row in grid]
+    if any(len(s) != 1 for s in row_procs):
+        raise ValueError("--sp_ways mesh layout error: a spatial row "
+                         "spans processes; device ordering is not "
+                         "process-major on this backend")
+    flat = [next(iter(s)) for s in row_procs]
+    if flat != sorted(flat):
+        raise ValueError("--sp_ways mesh layout error: process blocks "
+                         "are not contiguous over the data axis")
+    counts = {p: flat.count(p) for p in set(flat)}
+    if len(set(counts.values())) != 1:
+        raise ValueError("--sp_ways mesh layout error: processes own "
+                         f"unequal dp-row blocks ({counts}); every "
+                         "process must contribute the same device count")
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:

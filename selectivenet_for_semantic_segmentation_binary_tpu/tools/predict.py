@@ -22,7 +22,9 @@ single forward, jet heatmap). This CLI is that capability as a command:
 
 GH (Gray+Hematoxylin) checkpoints are served by converting each RGB input
 with the reference's stain transform (data_utils.py:13-27) before the
-forward (``--input_type GH``); ``--blankfield 1`` applies the same
+forward (``--input_type GH``); ``--input_type H_RGB`` re-renders the
+Hematoxylin plane back to a 3-channel RGB image (data_utils.py:29-41), the
+reference's other first-class stain input; ``--blankfield 1`` applies the same
 white-balance correction the BC/GH_BC training variants use
 (data/transforms.py::BlankfieldCorrection, after stain conversion exactly
 like the train/eval pipelines).
@@ -77,6 +79,10 @@ def _load_image(path: str, input_type: str,
         from ..data.stain import RGB2GH
 
         img = RGB2GH(img)
+    elif input_type == "H_RGB":
+        from ..data.stain import H_RGB
+
+        img = H_RGB(img)
     if blankfield:
         from ..data.transforms import BlankfieldCorrection
 
@@ -174,7 +180,8 @@ def main(argv=None) -> None:
                         choices=["UNet", "UNet_B"])
     parser.add_argument("--n_cls", type=int, default=2)
     parser.add_argument("--selective", type=parse_bool, default=False)
-    parser.add_argument("--input_type", default="RGB", choices=["RGB", "GH"])
+    parser.add_argument("--input_type", default="RGB",
+                        choices=["RGB", "GH", "H_RGB"])
     parser.add_argument("--blankfield", type=parse_bool, default=False,
                         help="apply blank-field (white-balance) correction — "
                              "required for checkpoints trained with "

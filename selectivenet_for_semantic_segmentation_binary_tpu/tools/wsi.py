@@ -252,7 +252,8 @@ def main(argv=None) -> None:
                         choices=["UNet", "UNet_B"])
     parser.add_argument("--n_cls", type=int, default=2)
     parser.add_argument("--selective", type=parse_bool, default=False)
-    parser.add_argument("--input_type", default="RGB", choices=["RGB", "GH"])
+    parser.add_argument("--input_type", default="RGB",
+                        choices=["RGB", "GH", "H_RGB"])
     parser.add_argument("--blankfield", type=parse_bool, default=False,
                         help="apply blank-field correction — required for "
                              "checkpoints trained with --blankfield 1 (the "

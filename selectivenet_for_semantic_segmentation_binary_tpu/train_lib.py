@@ -187,10 +187,26 @@ def resolve_fused(cfg, mesh) -> bool:
     and every pallas/XLA-conv boundary inserts large transpose copies that
     eat the win (docs/RESULTS.md round-2 section). 'on' keeps the trunk
     available for experiments (single-chip only: a pallas_call inside the
-    GSPMD-jitted step has no partitioning rule)."""
+    GSPMD-jitted step has no partitioning rule).
+
+    'on' in an environment that cannot run the Pallas trunk RAISES instead of
+    silently resolving off: an experiment flag that no-ops corrupts
+    experiment conclusions (same guard as build_model's bn_stats check,
+    models/unet.py:547-552)."""
     mode = getattr(cfg, "fused_cbr", "auto")
     if mode == "on":
-        return jax.default_backend() == "tpu" and mesh.devices.size == 1
+        if jax.default_backend() != "tpu":
+            raise ValueError(
+                "--fused_cbr on requires a TPU backend (the Pallas fused-CBR "
+                f"kernels have no {jax.default_backend()} path); use "
+                "--fused_cbr auto/off here")
+        if mesh.devices.size != 1:
+            raise ValueError(
+                "--fused_cbr on is single-chip only (a pallas_call inside "
+                "the GSPMD-jitted step has no partitioning rule); got a "
+                f"{mesh.devices.size}-device mesh — use --fused_cbr auto/off "
+                "or --local_rank with one device")
+        return True
     return False
 
 
@@ -528,6 +544,9 @@ def make_loaders(cfg: TrainConfig, mesh) -> Tuple[PatchLoader, PatchLoader]:
 
 def train(cfg: TrainConfig, loaders=None, verbose: bool = True) -> Dict[str, Any]:
     """Full training run (reference train.py:57-357). Returns final stats."""
+    from .config import validate_output_dim
+
+    validate_output_dim(cfg)
     mesh = make_mesh_dp_sp(cfg.n_devices, getattr(cfg, "sp_ways", 1),
                            cfg.batch_size, cfg.patch_size)
 

@@ -64,6 +64,55 @@ class TestHelpSurface:
                      "--s_cut_off", "--ens_scale"):
             assert flag in h
 
+    def test_output_dim_nchw_rejected_loudly(self):
+        """--output_dim NCHW is an error, not a silent no-op: the flag chose
+        the reference's host numpy conversion (train.py:141-144), which this
+        NHWC-native framework does not have (docs/PARITY.md)."""
+        import pytest
+
+        from selectivenet_for_semantic_segmentation_binary_tpu.config import (
+            EvalConfig,
+            TrainConfig,
+            parse_eval_args,
+            parse_train_args,
+            validate_output_dim,
+        )
+
+        with pytest.raises(SystemExit):
+            parse_train_args(["--output_dim", "NCHW"])
+        with pytest.raises(SystemExit):
+            parse_eval_args(["--output_dim", "NCHW"])
+        # the default keeps parsing
+        assert parse_train_args([]).output_dim == "NHW"
+        assert parse_eval_args([]).output_dim == "NHW"
+        # library users constructing configs directly hit the same guard
+        with pytest.raises(ValueError, match="NHWC-native"):
+            validate_output_dim(TrainConfig(output_dim="NCHW"))
+        validate_output_dim(EvalConfig())  # default passes
+
+    def test_fused_cbr_on_raises_when_unavailable(self):
+        """--fused_cbr on must fail loudly where the Pallas trunk cannot run
+        (CPU backend here), never silently resolve off — a no-op experiment
+        flag corrupts experiment conclusions (train_lib.resolve_fused)."""
+        import pytest
+
+        from selectivenet_for_semantic_segmentation_binary_tpu.config import (
+            TrainConfig,
+        )
+        from selectivenet_for_semantic_segmentation_binary_tpu.parallel.mesh import (
+            make_mesh,
+        )
+        from selectivenet_for_semantic_segmentation_binary_tpu.train_lib import (
+            resolve_fused,
+        )
+
+        mesh = make_mesh(1)
+        with pytest.raises(ValueError, match="fused_cbr"):
+            resolve_fused(TrainConfig(fused_cbr="on"), mesh)
+        # auto/off still resolve quietly everywhere
+        assert resolve_fused(TrainConfig(fused_cbr="auto"), mesh) is False
+        assert resolve_fused(TrainConfig(fused_cbr="off"), mesh) is False
+
     def test_sweep_help_lists_grid_flags(self):
         out = subprocess.run(
             [sys.executable, "-m",

@@ -45,6 +45,31 @@ class TestMesh:
         rep = replicate(tree, mesh)
         assert rep["w"].sharding.is_equivalent_to(replicated_sharding(mesh), ndim=2)
 
+    def test_fleet_sp_layout_check(self):
+        """The --sp_ways fleet layout verifier rejects every bad
+        process->mesh assignment with an actionable error: row spanning
+        processes, non-contiguous blocks, and UNEQUAL per-process dp-row
+        counts (a heterogeneous fleet would otherwise fail later, illegibly,
+        inside make_array_from_process_local_data)."""
+        from types import SimpleNamespace
+
+        from selectivenet_for_semantic_segmentation_binary_tpu.parallel.mesh import (
+            _verify_fleet_sp_layout,
+        )
+
+        def grid(rows):  # rows: list of per-dp-row process-index lists
+            return [[SimpleNamespace(process_index=p) for p in row]
+                    for row in rows]
+
+        # good: 2 processes x 2 contiguous dp rows each
+        _verify_fleet_sp_layout(grid([[0, 0], [0, 0], [1, 1], [1, 1]]))
+        with pytest.raises(ValueError, match="spans processes"):
+            _verify_fleet_sp_layout(grid([[0, 1], [0, 1]]))
+        with pytest.raises(ValueError, match="not contiguous"):
+            _verify_fleet_sp_layout(grid([[0, 0], [1, 1], [0, 0], [1, 1]]))
+        with pytest.raises(ValueError, match="unequal dp-row blocks"):
+            _verify_fleet_sp_layout(grid([[0, 0], [0, 0], [0, 0], [1, 1]]))
+
 
 class TestGlobalCoverageSemantics:
     def _make_data(self, rng, n=16):

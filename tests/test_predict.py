@@ -146,6 +146,33 @@ class TestPredictCLI:
         pred = np.asarray(Image.open(os.path.join(out_dir, "tile_pred.png")))
         assert pred.shape == (36, 44)
 
+    def test_h_rgb_input_type(self, sel_ckpt, tmp_path, image_file):
+        """--input_type H_RGB re-renders the Hematoxylin plane back to a
+        3-channel RGB input (reference data_utils.py:29-41) before the
+        forward; the prediction inputs must differ from the plain-RGB run."""
+        from selectivenet_for_semantic_segmentation_binary_tpu.data.stain import (
+            H_RGB,
+        )
+
+        rgb_dir, h_dir = str(tmp_path / "rgb"), str(tmp_path / "hrgb")
+        base = [image_file, "--model_path", sel_ckpt, "--selective", "1",
+                "--compute_dtype", "float32", "--save_prob", "1",
+                "--heatmap", "0"]
+        predict_cli.main(base + ["--save_dir", rgb_dir])
+        predict_cli.main(base + ["--save_dir", h_dir,
+                                 "--input_type", "H_RGB"])
+        a = np.load(os.path.join(rgb_dir, "tile_prob.npy"))
+        b = np.load(os.path.join(h_dir, "tile_prob.npy"))
+        assert a.shape == b.shape == (36, 44)
+        assert not np.array_equal(a, b)  # the stain transform reached the net
+
+        # and the loader applied exactly the reference transform
+        raw = np.asarray(Image.open(image_file).convert("RGB"),
+                         np.float32) / 255.0
+        np.testing.assert_allclose(
+            predict_cli._load_image(image_file, "H_RGB"), H_RGB(raw),
+            rtol=1e-6, atol=1e-6)
+
     def test_multiclass_pred_png_spaces_gray_levels(self, tmp_path):
         """n_cls > 2 pred PNGs space class ids evenly over gray levels;
         a plain *255 would wrap in uint8 (class 2 -> 254, 3 -> 253)."""
@@ -328,5 +355,17 @@ class TestWsiCLI:
             "--model_path", ckpt, "--patch_size", "32", "--nrow", "2",
             "--compute_dtype", "float32", "--batch_size", "4",
             "--num_workers", "2", "--blankfield", "1",
+        ])
+        assert "nanmean over" in capsys.readouterr().out
+
+    def test_h_rgb_input_type(self, tree, tmp_path, capsys):
+        """--input_type H_RGB (reference data_utils.py:29-41) rides the
+        dataset's stain-conversion path (3-channel trunk) end to end."""
+        ckpt = _make_ckpt(tmp_path, selective=False)
+        wsi_cli.main([
+            "--data_dir", tree, "--test_fold", "1",
+            "--model_path", ckpt, "--patch_size", "32", "--nrow", "2",
+            "--compute_dtype", "float32", "--batch_size", "4",
+            "--num_workers", "2", "--input_type", "H_RGB",
         ])
         assert "nanmean over" in capsys.readouterr().out
