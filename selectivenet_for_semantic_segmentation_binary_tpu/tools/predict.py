@@ -20,6 +20,15 @@ single forward, jet heatmap). This CLI is that capability as a command:
 * ``--tile H W`` switches to the bounded-memory exact tiled path
   (tools/tiled_inference.py) for slides too large for one forward.
 
+``--uncertainty N`` adds MC-dropout uncertainty: N stochastic forwards per
+image, aggregated on device into mean probability / per-element variance /
+negated class-mean-variance confidence — exactly the aggregation the
+reference specifies in its numpy simulation (check_MC_dropout.ipynb cells
+0-4; the reference model has no dropout layer, so it never wired the math to
+a model — here ``--dropout_rate`` > 0 enables serving-time dropout,
+models/unet.py). Emits ``{stem}_uncertainty.npz`` + a ``{stem}_variance.png``
+map, and derives pred/prob from the MC predictive mean.
+
 GH (Gray+Hematoxylin) checkpoints are served by converting each RGB input
 with the reference's stain transform (data_utils.py:13-27) before the
 forward (``--input_type GH``); ``--input_type H_RGB`` re-renders the
@@ -127,6 +136,70 @@ def predict_image(
     return out
 
 
+def predict_image_with_uncertainty(
+    predictor,
+    image: np.ndarray,
+    n_iter: int,
+    seed: int = 0,
+) -> Dict[str, np.ndarray]:
+    """One (H, W, C) raw [0, 1] image -> MC-dropout aggregation maps.
+
+    The reference's aggregation (check_MC_dropout.ipynb cells 0-4): ``n_iter``
+    stochastic forwards -> per-element variance across repeats -> mean over
+    the class axis, negated as confidence. Pads to the pool grid and crops
+    back exactly like :func:`predict_image`. Returns float32
+    {'mean_prob' (H, W, C), 'variance' (H, W, C), 'confidence' (H, W)}.
+    """
+    padded, h, w = _pad_to_grid(np.asarray(image, np.float32))
+    out = predictor.predict_with_uncertainty(padded[None], n_iter=n_iter,
+                                             seed=seed)
+    return {k: np.asarray(v[0], np.float32)[:h, :w] for k, v in out.items()}
+
+
+def _mc_pred(unc: Dict[str, np.ndarray], cut_off: float) -> Dict[str, np.ndarray]:
+    """pred/prob from the MC predictive mean (the standard MC-dropout
+    decision rule): binary heads threshold the mean sigmoid probability at
+    cut_off; CE heads argmax the mean softmax."""
+    mp = unc["mean_prob"]
+    if mp.shape[-1] == 1:
+        prob = mp[..., 0]
+        pred = (prob > cut_off).astype(np.uint8)
+    else:
+        prob = mp[..., 1]
+        pred = np.argmax(mp, axis=-1).astype(np.uint8)
+    return {"prob": prob.astype(np.float32), "pred": pred}
+
+
+def _save_uncertainty(unc: Dict[str, np.ndarray], stem: str, save_dir: str,
+                      heatmap: bool) -> List[str]:
+    """{stem}_uncertainty.npz (mean_prob/variance/confidence) + a
+    min-max-normalized class-mean-variance PNG (jet when matplotlib is
+    available and --heatmap 1, grayscale otherwise)."""
+    from PIL import Image
+
+    os.makedirs(save_dir, exist_ok=True)
+    written: List[str] = []
+    npz_path = os.path.join(save_dir, f"{stem}_uncertainty.npz")
+    np.savez(npz_path, **{k: v.astype(np.float32) for k, v in unc.items()})
+    written.append(npz_path)
+
+    var = -unc["confidence"]  # class-mean variance (confidence is its negation)
+    spread = float(var.max() - var.min())
+    norm = (var - var.min()) / spread if spread > 0 else np.zeros_like(var)
+    img = (norm * 255).astype(np.uint8)
+    if heatmap:
+        try:
+            from .wsi import make_heatmap
+
+            img = (make_heatmap(norm) * 255).astype(np.uint8)
+        except ImportError:  # matplotlib optional; grayscale fallback
+            pass
+    png_path = os.path.join(save_dir, f"{stem}_variance.png")
+    Image.fromarray(img).save(png_path)
+    written.append(png_path)
+    return written
+
+
 def _save_outputs(out: Dict[str, np.ndarray], stem: str, save_dir: str,
                   save_prob: bool, heatmap: bool, n_cls: int = 2) -> List[str]:
     from PIL import Image
@@ -202,6 +275,19 @@ def main(argv=None) -> None:
                         help="shard tiled-path window batches across all "
                              "visible chips (data-parallel windows, zero "
                              "cross-chip communication; requires --tile)")
+    parser.add_argument("--uncertainty", type=int, default=0, metavar="N",
+                        help="MC-dropout uncertainty: N stochastic forwards "
+                             "per image, aggregated on device into "
+                             "{stem}_uncertainty.npz (mean_prob/variance/"
+                             "confidence) + {stem}_variance.png (reference "
+                             "check_MC_dropout.ipynb cells 0-4); requires "
+                             "--dropout_rate > 0")
+    parser.add_argument("--dropout_rate", type=float, default=0.0,
+                        help="serving-time dropout rate for --uncertainty "
+                             "(the reference model has no dropout layer; "
+                             "these models accept one, models/unet.py)")
+    parser.add_argument("--mc_seed", type=int, default=0,
+                        help="PRNG seed for the MC-dropout forwards")
     parser.add_argument("--save_dir", default=None,
                         help="output directory (default: next to each input)")
     parser.add_argument("--save_prob", type=parse_bool, default=False,
@@ -218,6 +304,22 @@ def main(argv=None) -> None:
     if a.shard_windows and tile is None:
         parser.error("--shard_windows requires --tile (whole-image forwards "
                      "run on one chip)")
+    if a.uncertainty < 0:
+        parser.error(f"--uncertainty must be >= 0, got {a.uncertainty}")
+    if a.uncertainty:
+        if a.dropout_rate <= 0:
+            parser.error("--uncertainty requires --dropout_rate > 0: with no "
+                         "dropout every stochastic forward is identical and "
+                         "the variance is zero (the reference model has no "
+                         "dropout layer — check_MC_dropout.ipynb only specs "
+                         "the aggregation math)")
+        if tile is not None:
+            parser.error("--uncertainty runs whole-image forwards; it is "
+                         "incompatible with --tile")
+    elif a.dropout_rate > 0:
+        parser.error("--dropout_rate without --uncertainty has no effect "
+                     "(inference dropout only runs on the MC path); remove "
+                     "the flag or add --uncertainty N")
 
     from ..utils.checkpoint import resolve_checkpoint
 
@@ -234,6 +336,7 @@ def main(argv=None) -> None:
         ckpt, model_arch=a.model_arch, n_cls=a.n_cls, selective=a.selective,
         compute_dtype=a.compute_dtype, cut_off=a.cut_off,
         s_cut_off=a.s_cut_off, fold_bn=a.fold_bn,
+        dropout_rate=a.dropout_rate,
     )
     mesh = None
     if a.shard_windows:
@@ -248,8 +351,14 @@ def main(argv=None) -> None:
     padded_shapes = set()
     for path in inputs:
         image = _load_image(path, a.input_type, a.blankfield)
-        out = predict_image(predictor, image, tile=tile,
-                            batch_size=a.batch_size, mesh=mesh)
+        unc = None
+        if a.uncertainty:
+            unc = predict_image_with_uncertainty(predictor, image,
+                                                 a.uncertainty, a.mc_seed)
+            out = _mc_pred(unc, a.cut_off)
+        else:
+            out = predict_image(predictor, image, tile=tile,
+                                batch_size=a.batch_size, mesh=mesh)
         base = os.path.splitext(os.path.basename(path))[0]
         save_dir = a.save_dir or (os.path.dirname(os.path.abspath(path)))
         # disambiguate colliding stems (a.png + a.jpg, or same-named inputs
@@ -261,10 +370,15 @@ def main(argv=None) -> None:
         seen_stems.add((save_dir, stem))
         _save_outputs(out, stem, save_dir, a.save_prob, a.heatmap,
                       n_cls=a.n_cls)
+        if unc is not None:
+            _save_uncertainty(unc, stem, save_dir, a.heatmap)
         line = (f"{path}: {image.shape[0]}x{image.shape[1]} "
                 f"tumor_fraction={float(out['pred'].mean()):.4f}")
         if "selection" in out:
             line += f" coverage={float(out['selection'].mean()):.4f}"
+        if unc is not None:
+            line += (f" mc_iters={a.uncertainty}"
+                     f" mean_var={float(unc['variance'].mean()):.3e}")
         print(line, flush=True)
         if tile is None:
             # whole-image forwards jit-compile once PER padded shape; remote

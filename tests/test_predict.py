@@ -173,6 +173,70 @@ class TestPredictCLI:
             predict_cli._load_image(image_file, "H_RGB"), H_RGB(raw),
             rtol=1e-6, atol=1e-6)
 
+    def test_uncertainty_cli(self, sel_ckpt, image_file, tmp_path):
+        """--uncertainty N writes the MC-dropout aggregation artifacts
+        (reference check_MC_dropout.ipynb cells 0-4): an npz with
+        mean_prob / per-element variance / negated class-mean-variance
+        confidence, a variance PNG, and pred/prob derived from the MC
+        predictive mean."""
+        out_dir = str(tmp_path / "out")
+        predict_cli.main([
+            image_file, "--model_path", sel_ckpt, "--selective", "1",
+            "--compute_dtype", "float32", "--save_dir", out_dir,
+            "--uncertainty", "6", "--dropout_rate", "0.3",
+            "--save_prob", "1", "--heatmap", "0",
+        ])
+        z = np.load(os.path.join(out_dir, "tile_uncertainty.npz"))
+        assert z["mean_prob"].shape == (36, 44, 1)   # cropped off-grid dims
+        assert z["variance"].shape == (36, 44, 1)
+        assert z["confidence"].shape == (36, 44)
+        assert z["variance"].min() >= 0.0
+        assert z["variance"].max() > 0.0  # dropout really perturbed the repeats
+        # confidence = negated class-mean variance (ipynb cell 4)
+        np.testing.assert_allclose(z["confidence"],
+                                   -z["variance"].mean(axis=-1),
+                                   rtol=1e-5, atol=1e-7)
+        var_png = np.asarray(Image.open(os.path.join(out_dir,
+                                                     "tile_variance.png")))
+        assert var_png.shape == (36, 44)  # grayscale with --heatmap 0
+        # pred/prob come from the MC predictive mean
+        prob = np.load(os.path.join(out_dir, "tile_prob.npy"))
+        np.testing.assert_allclose(prob, z["mean_prob"][..., 0],
+                                   rtol=1e-6, atol=1e-7)
+        pred = np.asarray(Image.open(os.path.join(out_dir, "tile_pred.png")))
+        assert set(np.unique(pred)) <= {0, 255}
+
+    def test_uncertainty_seed_reproducible(self, sel_ckpt, image_file,
+                                           tmp_path):
+        """Same --mc_seed -> bit-identical aggregation; a different seed
+        draws different dropout masks."""
+        dirs = [str(tmp_path / d) for d in ("a", "b", "c")]
+        base = [image_file, "--model_path", sel_ckpt, "--selective", "1",
+                "--compute_dtype", "float32", "--uncertainty", "4",
+                "--dropout_rate", "0.3", "--heatmap", "0"]
+        predict_cli.main(base + ["--save_dir", dirs[0], "--mc_seed", "7"])
+        predict_cli.main(base + ["--save_dir", dirs[1], "--mc_seed", "7"])
+        predict_cli.main(base + ["--save_dir", dirs[2], "--mc_seed", "8"])
+        v = [np.load(os.path.join(d, "tile_uncertainty.npz"))["variance"]
+             for d in dirs]
+        np.testing.assert_array_equal(v[0], v[1])
+        assert not np.array_equal(v[0], v[2])
+
+    def test_uncertainty_flag_validation(self, sel_ckpt, image_file):
+        """The MC flags fail loudly instead of silently no-oping: N without
+        dropout would make every repeat identical (variance 0), dropout
+        without N never fires, and --tile has no MC path."""
+        with pytest.raises(SystemExit):
+            predict_cli.main([image_file, "--model_path", sel_ckpt,
+                              "--uncertainty", "4"])
+        with pytest.raises(SystemExit):
+            predict_cli.main([image_file, "--model_path", sel_ckpt,
+                              "--dropout_rate", "0.3"])
+        with pytest.raises(SystemExit):
+            predict_cli.main([image_file, "--model_path", sel_ckpt,
+                              "--uncertainty", "4", "--dropout_rate", "0.3",
+                              "--tile", "32", "32"])
+
     def test_multiclass_pred_png_spaces_gray_levels(self, tmp_path):
         """n_cls > 2 pred PNGs space class ids evenly over gray levels;
         a plain *255 would wrap in uint8 (class 2 -> 254, 3 -> 253)."""
