@@ -99,6 +99,15 @@ class TrainConfig:
     compute_dtype: str = "bfloat16"  # activations/conv compute dtype on TPU
     bn_stats: str = "float32"        # BN batch-statistics reduction dtype
                                      # ('bfloat16' = LowPrecStatsBN fast path)
+    bn_mode: str = "global"          # 'global' (default, mesh-size-independent
+                                     # global-batch BN) | 'per_replica'
+                                     # (faithful torch-DataParallel emulation:
+                                     # per-sub-batch stats, group-0 running
+                                     # update; models/unet.py GroupedBatchNorm)
+    bn_replicas: int = 0             # emulated replica count for per_replica
+                                     # (0 = one group per mesh device; e.g. 8
+                                     # reproduces the reference's train.sh
+                                     # 8-GPU BN batch of batch_size/8)
     seed: int = 42
     drop_last: bool = True           # static shapes for jit; see data/loader.py
     restore_optim: bool = False      # reference deliberately skips it (train.py:126)

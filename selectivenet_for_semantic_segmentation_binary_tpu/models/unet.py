@@ -25,7 +25,9 @@ Design notes (TPU):
     are *global-batch* statistics (XLA all-reduces across the mesh). torch
     DataParallel instead uses per-replica statistics (train.py:132-134);
     global-batch BN is the cleaner, mesh-size-independent semantics and is
-    what this framework standardizes on (see SURVEY.md §7 risk 2).
+    the default (see SURVEY.md §7 risk 2). ``bn_mode='per_replica'``
+    (GroupedBatchNorm) opts into the faithful DataParallel emulation,
+    lockstep-pinned against a 2-replica torch oracle (test_lockstep.py).
   * Optional ``dropout_rate`` (off by default; the reference model has no
     dropout) enables the MC stochastic-forward uncertainty path whose
     aggregation math is specified in reference check_MC_dropout.ipynb.
@@ -122,18 +124,96 @@ class LowPrecStatsBN(nn.Module):
         return (x.astype(d) - mean) * mul + bias.astype(d)
 
 
+class GroupedBatchNorm(nn.Module):
+    """Per-replica BatchNorm emulating torch ``DataParallel`` training
+    semantics (the reference wraps its net in ``nn.DataParallel`` over
+    ``len(local_rank)`` GPUs, train.py:132-134, so BN sees batch_size/replicas
+    examples — SURVEY.md §7 risk 2, the one semantic deviation of the default
+    global-batch BN):
+
+    * the batch is split into ``groups`` equal CONTIGUOUS sub-batches (the
+      dim-0 scatter DataParallel performs) and each sub-batch is normalized
+      with its OWN biased batch statistics — the reference's actual training
+      dynamics;
+    * running statistics are updated from sub-batch 0 ONLY, with torch's
+      UNBIASED variance: DataParallel replicas are destroyed after every
+      forward and only the device[0] replica shares buffer storage with the
+      base module, so only its updates persist (torch DataParallel docs;
+      torch BatchNorm2d normalizes with the biased variance but accumulates
+      the unbiased one).
+
+    The parameter/batch_stats tree (names, shapes, float32 storage) is
+    identical to ``nn.BatchNorm``, so checkpoints interchange freely with the
+    global-BN path and eval mode (running stats) is numerically identical.
+    Under a dp-sharded jit with ``groups == dp``, group boundaries coincide
+    with the physical shards and XLA computes every group's statistics
+    shard-locally — per-replica BN also removes the BN all-reduces.
+    Pinned against a real 2-replica torch DataParallel-semantics oracle in
+    tests/test_lockstep.py.
+    """
+
+    groups: int
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, use_running_average: bool) -> jax.Array:
+        feats = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (feats,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (feats,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda s: jnp.zeros(s, jnp.float32), (feats,))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda s: jnp.ones(s, jnp.float32), (feats,))
+        d = self.dtype
+        eps = jnp.asarray(self.epsilon, d)
+
+        if use_running_average:
+            mul = scale.astype(d) * jax.lax.rsqrt(ra_var.value.astype(d) + eps)
+            return (x.astype(d) - ra_mean.value.astype(d)) * mul + bias.astype(d)
+
+        n = x.shape[0]
+        # during init the sample batch (size 1) need not divide into groups;
+        # no stats are accumulated then, so a single group is equivalent
+        g = 1 if self.is_initializing() else self.groups
+        if n % g:
+            raise ValueError(
+                f"per-replica BatchNorm needs the batch size ({n}) divisible "
+                f"by the replica count ({g}) — DataParallel scatters equal "
+                "sub-batches (reference train.py:132-134)")
+        xg = x.astype(jnp.float32).reshape((g, n // g) + x.shape[1:])
+        gmean = jnp.mean(xg, axis=(1, 2, 3))                        # (G, C)
+        gvar = jnp.mean(
+            jnp.square(xg - gmean[:, None, None, None, :]), axis=(1, 2, 3))
+        if not self.is_initializing():
+            m = self.momentum
+            count = (n // g) * x.shape[1] * x.shape[2]  # elements per channel
+            unbias = count / max(count - 1, 1)          # torch running_var
+            ra_mean.value = m * ra_mean.value + (1.0 - m) * gmean[0]
+            ra_var.value = m * ra_var.value + (1.0 - m) * (gvar[0] * unbias)
+        mul = (scale[None, :].astype(d)
+               * jax.lax.rsqrt(gvar.astype(d) + eps))               # (G, C)
+        xn = ((xg.astype(d) - gmean.astype(d)[:, None, None, None, :])
+              * mul[:, None, None, None, :] + bias.astype(d))
+        return xn.reshape(x.shape)
+
+
 class CBR(nn.Module):
     """Conv3x3 -> BatchNorm -> ReLU (reference model.py:9-15).
 
     ``folded=True`` builds the BN-folded serving variant (Conv -> ReLU, BN
     affine pre-multiplied into the kernel/bias by ops/fold_bn.py).
     ``bn_stats='bfloat16'`` swaps in LowPrecStatsBN (same tree, bf16 batch
-    statistics)."""
+    statistics). ``bn_mode='per_replica'`` swaps in GroupedBatchNorm
+    (``bn_groups`` emulated DataParallel replicas; same tree)."""
 
     features: int
     dtype: Dtype = jnp.float32
     folded: bool = False
     bn_stats: str = "float32"
+    bn_mode: str = "global"
+    bn_groups: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -151,7 +231,15 @@ class CBR(nn.Module):
             name="conv",
         )(x)
         if not self.folded:
-            if self.bn_stats != "float32":
+            if self.bn_mode == "per_replica":
+                x = GroupedBatchNorm(
+                    groups=self.bn_groups,
+                    momentum=0.9,
+                    epsilon=1e-5,
+                    dtype=self.dtype,
+                    name="bn",
+                )(x, use_running_average=not train)
+            elif self.bn_stats != "float32":
                 x = LowPrecStatsBN(
                     momentum=0.9,
                     epsilon=1e-5,
@@ -408,11 +496,14 @@ class _UNetTrunk(nn.Module):
     dropout_rate: float = 0.0
     folded: bool = False
     bn_stats: str = "float32"
+    bn_mode: str = "global"
+    bn_groups: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool, mc_dropout: bool = False) -> jax.Array:
         d = self.dtype
-        cbr = partial(CBR, dtype=d, folded=self.folded, bn_stats=self.bn_stats)
+        cbr = partial(CBR, dtype=d, folded=self.folded, bn_stats=self.bn_stats,
+                      bn_mode=self.bn_mode, bn_groups=self.bn_groups)
 
         enc1 = cbr(64, name="enc1_1")(x, train)
         enc1 = cbr(64, name="enc1_2")(enc1, train)
@@ -465,6 +556,8 @@ class UNetB(nn.Module):
     fused: bool = False          # fused-CBR dataflow (Pallas on TPU)
     fused_interpret: bool = False  # run the Pallas kernels interpreted (tests)
     bn_stats: str = "float32"    # batch-statistics dtype (LowPrecStatsBN)
+    bn_mode: str = "global"      # 'global' | 'per_replica' (GroupedBatchNorm)
+    bn_groups: int = 1           # emulated DataParallel replica count
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False, mc_dropout: bool = False):
@@ -476,6 +569,7 @@ class UNetB(nn.Module):
         else:
             feat = _UNetTrunk(dtype=self.dtype, dropout_rate=self.dropout_rate,
                               folded=self.folded, bn_stats=self.bn_stats,
+                              bn_mode=self.bn_mode, bn_groups=self.bn_groups,
                               name="trunk")(x, train, mc_dropout)
         out = Head(1, dtype=self.dtype, name="conv1x1")(feat)
         out = jnp.squeeze(out, -1).astype(jnp.float32)
@@ -502,6 +596,8 @@ class UNet(nn.Module):
     fused: bool = False
     fused_interpret: bool = False
     bn_stats: str = "float32"
+    bn_mode: str = "global"
+    bn_groups: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False, mc_dropout: bool = False):
@@ -513,6 +609,7 @@ class UNet(nn.Module):
         else:
             feat = _UNetTrunk(dtype=self.dtype, dropout_rate=self.dropout_rate,
                               folded=self.folded, bn_stats=self.bn_stats,
+                              bn_mode=self.bn_mode, bn_groups=self.bn_groups,
                               name="trunk")(x, train, mc_dropout)
         out = Head(self.n_cls, dtype=self.dtype, name="conv1x1")(feat).astype(jnp.float32)
         if not self.selective:
@@ -532,6 +629,8 @@ def build_model(
     fused: bool = False,
     fused_interpret: bool = False,
     bn_stats: str = "float32",
+    bn_mode: str = "global",
+    bn_groups: int = 1,
 ) -> nn.Module:
     """Factory matching the reference's arch selection (train.py:71-74).
 
@@ -540,7 +639,9 @@ def build_model(
     fused-CBR trunk (Pallas kernels on TPU; identical parameter tree);
     ``fused_interpret`` runs those kernels interpreted (CPU tests).
     ``bn_stats`` selects the batch-statistics reduction dtype (LowPrecStatsBN;
-    'float32' keeps flax nn.BatchNorm exactly)."""
+    'float32' keeps flax nn.BatchNorm exactly). ``bn_mode='per_replica'``
+    swaps in GroupedBatchNorm over ``bn_groups`` emulated DataParallel
+    replicas (the reference's faithful BN semantics, train.py:132-134)."""
     dtype = jnp.dtype(compute_dtype)
     if folded and fused:
         raise ValueError("folded serving graph and fused training trunk are exclusive")
@@ -550,14 +651,29 @@ def build_model(
         # conclusions, so refuse the combination outright
         raise ValueError("bn_stats is not implemented by the fused trunk; "
                          "use bn_stats='float32' or fused=False")
+    if bn_mode not in ("global", "per_replica"):
+        raise ValueError(f"unknown bn_mode {bn_mode!r} "
+                         "(expected 'global' or 'per_replica')")
+    if bn_mode == "per_replica":
+        # same silent-no-op guard as above: refuse combinations that would
+        # train something other than what the flags claim
+        if fused:
+            raise ValueError("bn_mode='per_replica' is not implemented by the "
+                             "fused trunk; use the default trunk (fused=False)")
+        if bn_stats != "float32":
+            raise ValueError("bn_mode='per_replica' and bn_stats != 'float32' "
+                             "are exclusive (GroupedBatchNorm reduces in f32)")
+        if bn_groups < 1:
+            raise ValueError(f"bn_groups must be >= 1, got {bn_groups}")
     if model_arch == "UNet_B":
         return UNetB(selective=selective, dtype=dtype, dropout_rate=dropout_rate,
                      folded=folded, fused=fused, fused_interpret=fused_interpret,
-                     bn_stats=bn_stats)
+                     bn_stats=bn_stats, bn_mode=bn_mode, bn_groups=bn_groups)
     if model_arch == "UNet":
         return UNet(n_cls=n_cls, selective=selective, dtype=dtype,
                     dropout_rate=dropout_rate, folded=folded, fused=fused,
-                    fused_interpret=fused_interpret, bn_stats=bn_stats)
+                    fused_interpret=fused_interpret, bn_stats=bn_stats,
+                    bn_mode=bn_mode, bn_groups=bn_groups)
     raise ValueError(f"unknown model_arch {model_arch!r} (expected 'UNet' or 'UNet_B')")
 
 

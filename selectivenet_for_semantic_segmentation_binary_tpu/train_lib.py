@@ -210,6 +210,31 @@ def resolve_fused(cfg, mesh) -> bool:
     return False
 
 
+def resolve_bn_groups(cfg, mesh) -> int:
+    """Resolve ``--bn_mode per_replica``'s emulated replica count.
+
+    ``--bn_replicas 0`` (default) means one BN group per mesh device — the
+    literal DataParallel analog of the current run; an explicit N lets a
+    single chip faithfully reproduce the reference's 8-GPU recipe (train.sh:1
+    gives an effective BN batch of 128/8). The batch must split into equal
+    groups, exactly like DataParallel's dim-0 scatter; a non-divisible
+    combination is rejected here with the flag names, not later by a shape
+    error inside the traced model."""
+    if getattr(cfg, "bn_mode", "global") != "per_replica":
+        return 1
+    groups = int(getattr(cfg, "bn_replicas", 0)) or int(mesh.devices.size)
+    if groups < 1:
+        raise ValueError(f"--bn_replicas must be >= 0, got {groups}")
+    if cfg.batch_size % groups:
+        raise ValueError(
+            f"--bn_mode per_replica needs --batch_size ({cfg.batch_size}) "
+            f"divisible by the replica count ({groups}, from "
+            f"--bn_replicas {getattr(cfg, 'bn_replicas', 0)} / mesh size "
+            f"{mesh.devices.size}) — DataParallel scatters equal sub-batches "
+            "(reference train.py:132-134)")
+    return groups
+
+
 class _StepKey(NamedTuple):
     """The TrainConfig fields the jitted train/valid steps close over —
     hashable so structurally identical runs (e.g. the sweep harness's one
@@ -553,7 +578,9 @@ def train(cfg: TrainConfig, loaders=None, verbose: bool = True) -> Dict[str, Any
     model = build_model(cfg.model_arch, cfg.n_cls, cfg.selective,
                         cfg.compute_dtype, cfg.dropout_rate,
                         fused=resolve_fused(cfg, mesh),
-                        bn_stats=getattr(cfg, "bn_stats", "float32"))
+                        bn_stats=getattr(cfg, "bn_stats", "float32"),
+                        bn_mode=getattr(cfg, "bn_mode", "global"),
+                        bn_groups=resolve_bn_groups(cfg, mesh))
     tx = build_optimizer(cfg)
     rng = jax.random.PRNGKey(cfg.seed)
     rng, init_rng = jax.random.split(rng)

@@ -285,3 +285,96 @@ class TestLowPrecStatsBN:
         np.testing.assert_allclose(batch_var, 1.0, rtol=0.15)
         # and the normalized output must be ~N(0,1), not exploded by rsqrt(0)
         assert float(jnp.max(jnp.abs(y.astype(jnp.float32)))) < 10.0
+
+
+class TestGroupedBatchNorm:
+    """bn_mode='per_replica' (models.unet.GroupedBatchNorm): torch
+    DataParallel BN emulation — per-sub-batch statistics, running stats from
+    sub-batch 0 only with torch's unbiased variance (reference
+    train.py:132-134). Tree-identical to nn.BatchNorm; the full train-loop
+    composition is pinned against a real 2-replica DataParallel-semantics
+    torch oracle in test_lockstep.py."""
+
+    def test_grouped_normalization_and_running_update(self):
+        from selectivenet_for_semantic_segmentation_binary_tpu.models.unet import (
+            GroupedBatchNorm,
+        )
+
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((4, 6, 6, 3)).astype(np.float32) * 2 + 1.5
+        m = GroupedBatchNorm(groups=2, dtype=jnp.float32)
+        v0 = m.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                    use_running_average=True)
+        y, mut = m.apply(v0, jnp.asarray(x), use_running_average=False,
+                         mutable=["batch_stats"])
+        y = np.asarray(y)
+
+        ref = np.empty_like(x)
+        for g in range(2):
+            sub = x[g * 2:(g + 1) * 2]
+            mu, var = sub.mean((0, 1, 2)), sub.var((0, 1, 2))
+            ref[g * 2:(g + 1) * 2] = (sub - mu) / np.sqrt(var + 1e-5)
+        np.testing.assert_allclose(y, ref, atol=1e-5)
+
+        # running stats: group 0 only, torch's unbiased variance
+        sub0 = x[:2]
+        count = 2 * 6 * 6
+        np.testing.assert_allclose(
+            np.asarray(mut["batch_stats"]["mean"]),
+            0.1 * sub0.mean((0, 1, 2)), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(mut["batch_stats"]["var"]),
+            0.9 + 0.1 * sub0.var((0, 1, 2)) * count / (count - 1), atol=1e-6)
+
+    def test_groups_must_divide_batch(self):
+        from selectivenet_for_semantic_segmentation_binary_tpu.models.unet import (
+            GroupedBatchNorm,
+        )
+
+        m = GroupedBatchNorm(groups=3, dtype=jnp.float32)
+        x = jnp.zeros((4, 4, 4, 2), jnp.float32)
+        v0 = m.init(jax.random.PRNGKey(0), x, use_running_average=True)
+        with pytest.raises(ValueError, match="divisible"):
+            m.apply(v0, x, use_running_average=False, mutable=["batch_stats"])
+
+    def test_tree_identical_and_single_group_matches_global(self):
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 32, 32, 3), jnp.float32)
+        mg = build_model("UNet_B", selective=True, compute_dtype="float32")
+        mp = build_model("UNet_B", selective=True, compute_dtype="float32",
+                         bn_mode="per_replica", bn_groups=1)
+        vg = mg.init(jax.random.PRNGKey(3), x, train=False)
+        vp = mp.init(jax.random.PRNGKey(3), x, train=False)
+        assert (jax.tree_util.tree_structure(vg)
+                == jax.tree_util.tree_structure(vp))
+        # train-mode forward with ONE group == global-batch BN (the modes
+        # only diverge through the sub-batch split)
+        og, _ = mg.apply(vg, x, train=True, mutable=["batch_stats"])
+        op, _ = mp.apply(vp, x, train=True, mutable=["batch_stats"])
+        for a, b in zip(og, op):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-5)
+
+    def test_eval_mode_matches_global(self):
+        """Eval uses running stats: a per_replica-trained checkpoint serves
+        identically through the default global-BN model."""
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3), jnp.float32)
+        mp = build_model("UNet_B", selective=True, compute_dtype="float32",
+                         bn_mode="per_replica", bn_groups=2)
+        v = mp.init(jax.random.PRNGKey(3), x, train=False)
+        _, mut = mp.apply(v, x, train=True, mutable=["batch_stats"])
+        v2 = {"params": v["params"], "batch_stats": mut["batch_stats"]}
+        mg = build_model("UNet_B", selective=True, compute_dtype="float32")
+        for a, b in zip(mp.apply(v2, x, train=False),
+                        mg.apply(v2, x, train=False)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-6)
+
+    def test_invalid_combinations_rejected(self):
+        with pytest.raises(ValueError, match="per_replica"):
+            build_model("UNet_B", bn_mode="per_replica", fused=True)
+        with pytest.raises(ValueError, match="per_replica"):
+            build_model("UNet_B", bn_mode="per_replica", bn_stats="bfloat16")
+        with pytest.raises(ValueError, match="bn_groups"):
+            build_model("UNet_B", bn_mode="per_replica", bn_groups=0)
+        with pytest.raises(ValueError, match="bn_mode"):
+            build_model("UNet_B", bn_mode="sync")

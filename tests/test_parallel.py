@@ -185,3 +185,59 @@ class TestTrainStepOnMesh:
         base = losses[1]
         for n, l in losses.items():
             assert l == pytest.approx(base, rel=1e-4), f"mesh size {n}: {l} vs {base}"
+
+    def test_per_replica_bn_mesh_size_independence(self, rng):
+        """bn_mode='per_replica' groups are LOGICAL sub-batches, not physical
+        shards: with a fixed replica count (here 2, the reference's
+        DataParallel scatter) the loss is identical on any mesh size — the
+        same invariance the global objective has."""
+        from selectivenet_for_semantic_segmentation_binary_tpu.config import TrainConfig
+        from selectivenet_for_semantic_segmentation_binary_tpu.models import build_model
+        from selectivenet_for_semantic_segmentation_binary_tpu.optim import build_optimizer
+        from selectivenet_for_semantic_segmentation_binary_tpu.train_lib import (
+            create_state,
+            make_train_step,
+        )
+
+        cfg = TrainConfig(
+            model_arch="UNet_B", selective=True, loss="BCElogit",
+            batch_size=8, patch_size=16, compute_dtype="float32",
+            bn_mode="per_replica", bn_replicas=2,
+        )
+        x = rng.standard_normal((8, 16, 16, 3)).astype(np.float32)
+        y = (x[..., 0] > 0).astype(np.int32)
+
+        losses = {}
+        for n in (1, 4, 8):
+            mesh = make_mesh(n)
+            model = build_model(cfg.model_arch, cfg.n_cls, cfg.selective,
+                                cfg.compute_dtype, bn_mode="per_replica",
+                                bn_groups=2)
+            tx = build_optimizer(cfg)
+            state = replicate(create_state(cfg, model, tx, jax.random.PRNGKey(0)), mesh)
+            step = make_train_step(model, cfg, tx)
+            batch = shard_batch({"input": x, "label": y}, mesh)
+            _, metrics = step(state, batch, 1e-3, jax.random.PRNGKey(1))
+            losses[n] = float(metrics["loss"])
+        for n, l in losses.items():
+            assert l == pytest.approx(losses[1], rel=1e-4), f"mesh {n}: {losses}"
+
+    def test_resolve_bn_groups(self):
+        """--bn_mode per_replica resolution: 0 -> one group per mesh device;
+        non-divisible batch sizes are rejected with the flag names."""
+        from selectivenet_for_semantic_segmentation_binary_tpu.config import TrainConfig
+        from selectivenet_for_semantic_segmentation_binary_tpu.train_lib import (
+            resolve_bn_groups,
+        )
+
+        mesh = make_mesh(4)
+        assert resolve_bn_groups(TrainConfig(batch_size=16), mesh) == 1
+        assert resolve_bn_groups(
+            TrainConfig(batch_size=16, bn_mode="per_replica"), mesh) == 4
+        assert resolve_bn_groups(
+            TrainConfig(batch_size=16, bn_mode="per_replica", bn_replicas=8),
+            mesh) == 8
+        with pytest.raises(ValueError, match="divisible"):
+            resolve_bn_groups(
+                TrainConfig(batch_size=10, bn_mode="per_replica",
+                            bn_replicas=4), mesh)
