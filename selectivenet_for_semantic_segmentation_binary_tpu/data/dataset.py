@@ -167,6 +167,7 @@ def write_hard_synthetic_patch_tree(
     patch_mag: int = 200,
     patch_size: int = 256,
     ambiguous_level: float = 0.17,
+    camo_level: float = 0.035,
     seed: int = 0,
     n_folds: int = 5,
 ) -> None:
@@ -187,9 +188,21 @@ def write_hard_synthetic_patch_tree(
 
     A plain model's accuracy is capped by the ambiguous mass; a selective
     model can learn to reject exactly those pixels, so in-coverage metrics
-    recover toward the clean-zone ceiling. scripts/selective_benchmark.py
-    runs the full comparison; fold npy classification uses the reference's
-    10%-of-pixels tumorable rule (tumor_label-based_data_split.ipynb cell 0).
+    recover toward the clean-zone ceiling.
+
+    ``camo_level`` additionally plants CAMOUFLAGED ambiguity (~4% of pixels
+    at the default): regions whose label follows another hidden field while
+    their appearance stays exactly that of their host zone. No pixel trace
+    exists, so even a perfect selection head ACCEPTS them — a tunable
+    irreducible in-coverage error (~camo_mass/2) that keeps accepted-region
+    metrics in the regime the reference's published numbers occupy
+    (in-coverage accuracy 0.9839 / mIoU 0.9612, README.md:85) instead of
+    saturating at ~1.0 the way the round-3 grid did (docs/artifacts/sweep_r3).
+    Set camo_level=0.0 for the round-3 behavior.
+
+    scripts/selective_benchmark.py runs the full comparison; fold npy
+    classification uses the reference's 10%-of-pixels tumorable rule
+    (tumor_label-based_data_split.ipynb cell 0).
     """
     rng = np.random.default_rng(seed)
     patch_dir = os.path.join(data_dir, f"{patch_mag}x_{patch_size}")
@@ -208,8 +221,15 @@ def write_hard_synthetic_patch_tree(
             lesion_zone = _smooth_field(rng, patch_size) > rng.uniform(-0.2, 0.8)
             ambiguous = np.abs(_smooth_field(rng, patch_size)) < ambiguous_level
             hidden = _smooth_field(rng, patch_size) > 0.0  # invisible to the image
+            # camouflaged ambiguity: label flips with NO appearance change —
+            # the image loop below keys on (lesion_zone, ambiguous) only, so
+            # camo pixels render exactly like their host zone
+            camo = ((~ambiguous)
+                    & (np.abs(_smooth_field(rng, patch_size)) < camo_level))
+            hidden2 = _smooth_field(rng, patch_size) > 0.0
 
-            label01 = np.where(ambiguous, hidden, lesion_zone)
+            label01 = np.where(ambiguous, hidden,
+                               np.where(camo, hidden2, lesion_zone))
 
             img = np.empty((patch_size, patch_size, 3), np.float32)
             for zone, color in (

@@ -349,14 +349,40 @@ class TestHardSyntheticTree:
         assert 0.10 < amb.mean() < 0.30  # ~20% of pixels by construction
         # labels inside the zone are a hidden coin flip (no image signal)
         assert abs(float((labels > 0)[amb].mean()) - 0.5) < 0.1
-        # outside the zone, tumor/benign textures match their labels: the
-        # lesion color is closer to every labeled-tumor clean pixel
+        # outside the zone, tumor/benign textures MOSTLY match their labels —
+        # "mostly" because the camouflaged-ambiguity mass (camo_level) plants
+        # label flips with no appearance change (the tunable irreducible
+        # in-coverage error)
         lesion_d = np.linalg.norm(imgs - np.array([158.0, 92.0, 148.0]), axis=-1)
         benign_d = np.linalg.norm(imgs - np.array([222.0, 192.0, 205.0]), axis=-1)
         clean_tumor = (labels > 0) & ~amb
         clean_benign = (labels == 0) & ~amb
-        assert (lesion_d[clean_tumor] < benign_d[clean_tumor]).mean() > 0.95
-        assert (benign_d[clean_benign] < lesion_d[clean_benign]).mean() > 0.95
+        assert (lesion_d[clean_tumor] < benign_d[clean_tumor]).mean() > 0.93
+        assert (benign_d[clean_benign] < lesion_d[clean_benign]).mean() > 0.93
+        # the camo mass is present and bounded: clean-pixel label/texture
+        # disagreement ~= camo/2 (+ boundary/JPEG noise), i.e. a few percent
+        disagree = ((lesion_d < benign_d) != (labels > 0)) & ~amb
+        frac = disagree.sum() / (~amb).sum()
+        assert 0.01 < frac < 0.06, frac
+
+    def test_camo_level_zero_restores_separable_clean_zones(self, tmp_path):
+        """camo_level=0 reproduces the round-3 task: clean zones separable to
+        the boundary/JPEG noise floor."""
+        from selectivenet_for_semantic_segmentation_binary_tpu.data import (
+            write_hard_synthetic_patch_tree,
+        )
+
+        write_hard_synthetic_patch_tree(
+            str(tmp_path), n_slides=1, patches_per_slide=10, patch_size=96,
+            seed=1, camo_level=0.0,
+        )
+        imgs, labels = self._load(str(tmp_path))
+        dist = np.linalg.norm(imgs - np.array([190.0, 142.0, 176.0]), axis=-1)
+        amb = dist < 30
+        lesion_d = np.linalg.norm(imgs - np.array([158.0, 92.0, 148.0]), axis=-1)
+        benign_d = np.linalg.norm(imgs - np.array([222.0, 192.0, 205.0]), axis=-1)
+        disagree = ((lesion_d < benign_d) != (labels > 0)) & ~amb
+        assert disagree.sum() / (~amb).sum() < 0.015
 
     def test_fold_npys_feed_constructors(self, hard_tree):
         train, valid = construct_train_valid(hard_tree, test_fold=1)
