@@ -190,6 +190,10 @@ class EvalConfig:
     blankfield: bool = False  # blank-field white-balance preprocessing ("BC")
     device_preproc: bool = True  # ship raw uint8, normalize on device
     sp_ways: int = 1  # spatial-parallel eval: shard image rows sp_ways (DP x SP)
+    # 'int8': W8A8 quantized serving forward (ops/quant.py; measured 1.27x
+    # over bf16 on v5e). Activation scales calibrate on the test fold's first
+    # patches; every ensemble member quantizes independently.
+    quantize: str = "none"
 
     @property
     def n_devices(self) -> int:

@@ -151,7 +151,9 @@ def _build_eval_step(model, key: _StepKey, n_models: int,
 
     def forward_single(variables, x):
         out = model.apply(
-            {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+            # quantized serving trees (ops/quant.py) carry no batch_stats
+            {"params": variables["params"],
+             "batch_stats": variables.get("batch_stats", {})},
             x, train=False,
         )
         if selective:
@@ -268,6 +270,42 @@ def make_eval_loader(cfg: EvalConfig, mesh, data_list=None) -> PatchLoader:
                        seed=cfg.seed, sharding=batch_sharding(mesh), **proc)
 
 
+_CALIB_PATCHES = 8  # int8 activation-scale calibration sample (first patches
+#                     of the test fold; input statistics only — no labels)
+
+
+def _quantize_models(cfg: EvalConfig, variables_list: List[Dict],
+                     verbose: bool):
+    """``--quantize int8``: fold + calibrate + quantize every checkpoint
+    (ops/quant.py). Calibration images are the test fold's first patches,
+    decoded raw [0, 1] with the same pre-normalization transforms the eval
+    loader applies (stain conversion inside PatchDataset, then blankfield)."""
+    from .ops.quant import quantize_serving
+
+    data_list = construct_test(cfg.data_dir, test_fold=cfg.test_fold)
+    transform = None
+    if getattr(cfg, "blankfield", False):
+        from .data.transforms import BlankfieldCorrection
+
+        transform = Compose([BlankfieldCorrection()])
+    ds = PatchDataset(cfg.data_dir, data_list, cfg.patch_mag, cfg.patch_size,
+                      cfg.input_type, transform=transform)
+    n_calib = min(_CALIB_PATCHES, len(ds))
+    calib = np.stack([np.asarray(ds[i]["input"], np.float32)
+                      for i in range(n_calib)])
+    model = None
+    quantized = []
+    for v in variables_list:  # per-member scales: activations differ per net
+        model, qv = quantize_serving(
+            cfg.model_arch[0], cfg.n_cls, cfg.selective, cfg.compute_dtype,
+            v, calib)
+        quantized.append(qv)
+    if verbose:
+        print(f"    int8 serving trunk: {len(quantized)} model(s) "
+              f"calibrated on {n_calib} patches")
+    return model, quantized
+
+
 def evaluate(cfg: EvalConfig, loader: Optional[PatchLoader] = None,
              verbose: bool = True) -> Dict[str, Any]:
     """Full evaluation (reference eval.py:76-280). Returns the metric dict."""
@@ -277,6 +315,12 @@ def evaluate(cfg: EvalConfig, loader: Optional[PatchLoader] = None,
     mesh = make_mesh_dp_sp(cfg.n_devices, getattr(cfg, "sp_ways", 1),
                            cfg.batch_size, cfg.patch_size)
     model, variables_list = load_models(cfg)
+    q = getattr(cfg, "quantize", "none")
+    if q not in ("none", "int8"):  # the dataclass-generated flag is untyped —
+        #                            an unknown value must not silently no-op
+        raise ValueError(f"unknown --quantize {q!r} (expected 'none' or 'int8')")
+    if q == "int8":
+        model, variables_list = _quantize_models(cfg, variables_list, verbose)
     n_models = len(variables_list)
 
     if n_models == 1:

@@ -199,6 +199,25 @@ class GroupedBatchNorm(nn.Module):
         return xn.reshape(x.shape)
 
 
+class _QuantConvParams(nn.Module):
+    """int8 conv params under the same ``conv`` scope the folded CBR uses —
+    the tree is produced offline by ops/quant.py::quantize_folded, never by
+    ``.init`` (the zero/one initializers below only pin shapes/dtypes)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        shape = (3, 3, in_features, self.features)
+        kq = self.param("kernel_q", nn.initializers.zeros, shape, jnp.int8)
+        ks = self.param("kernel_scale", nn.initializers.ones,
+                        (self.features,), jnp.float32)
+        a = self.param("act_scale", nn.initializers.ones, (), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.features,), jnp.float32)
+        return kq, ks, a, b
+
+
 class CBR(nn.Module):
     """Conv3x3 -> BatchNorm -> ReLU (reference model.py:9-15).
 
@@ -206,7 +225,15 @@ class CBR(nn.Module):
     affine pre-multiplied into the kernel/bias by ops/fold_bn.py).
     ``bn_stats='bfloat16'`` swaps in LowPrecStatsBN (same tree, bf16 batch
     statistics). ``bn_mode='per_replica'`` swaps in GroupedBatchNorm
-    (``bn_groups`` emulated DataParallel replicas; same tree)."""
+    (``bn_groups`` emulated DataParallel replicas; same tree).
+
+    ``calibrate=True`` (folded graph) additionally sows this block's input
+    absmax into the ``quant_calib`` collection — the activation-scale
+    calibration pass of the int8 serving path (ops/quant.py).
+    ``quantize=True`` builds the W8A8 variant instead: static-scale int8
+    activations x per-output-channel int8 weights on the MXU with int32
+    accumulation, dequant + bias + ReLU fused into the epilogue — the
+    measured-1.27x serving pipeline of scripts/proto_int8.py."""
 
     features: int
     dtype: Dtype = jnp.float32
@@ -214,9 +241,29 @@ class CBR(nn.Module):
     bn_stats: str = "float32"
     bn_mode: str = "global"
     bn_groups: int = 1
+    quantize: bool = False
+    calibrate: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        if self.calibrate:
+            self.sow("quant_calib", "in_absmax",
+                     jnp.max(jnp.abs(x.astype(jnp.float32))),
+                     init_fn=lambda: jnp.zeros((), jnp.float32),
+                     reduce_fn=jnp.maximum)
+        if self.quantize:
+            kq, ks, a, b = _QuantConvParams(self.features, name="conv")(
+                x.shape[-1])
+            # zero-point-free symmetric quantization: SAME-padding zeros are
+            # exact in the quantized domain too
+            xq = jnp.clip(jnp.round(x.astype(jnp.float32) * (1.0 / a)),
+                          -127.0, 127.0).astype(jnp.int8)
+            y = jax.lax.conv_general_dilated(
+                xq, kq, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32)
+            y = y.astype(jnp.float32) * (a * ks) + b
+            return jnp.maximum(y, 0.0).astype(self.dtype)
         fan_in = x.shape[-1] * 9
         x = nn.Conv(
             self.features,
@@ -498,12 +545,15 @@ class _UNetTrunk(nn.Module):
     bn_stats: str = "float32"
     bn_mode: str = "global"
     bn_groups: int = 1
+    quantize: bool = False
+    calibrate: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool, mc_dropout: bool = False) -> jax.Array:
         d = self.dtype
         cbr = partial(CBR, dtype=d, folded=self.folded, bn_stats=self.bn_stats,
-                      bn_mode=self.bn_mode, bn_groups=self.bn_groups)
+                      bn_mode=self.bn_mode, bn_groups=self.bn_groups,
+                      quantize=self.quantize, calibrate=self.calibrate)
 
         enc1 = cbr(64, name="enc1_1")(x, train)
         enc1 = cbr(64, name="enc1_2")(enc1, train)
@@ -558,6 +608,8 @@ class UNetB(nn.Module):
     bn_stats: str = "float32"    # batch-statistics dtype (LowPrecStatsBN)
     bn_mode: str = "global"      # 'global' | 'per_replica' (GroupedBatchNorm)
     bn_groups: int = 1           # emulated DataParallel replica count
+    quantize: bool = False       # W8A8 int8 trunk (serving; ops/quant.py)
+    calibrate: bool = False      # sow per-CBR input absmax (quant calibration)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False, mc_dropout: bool = False):
@@ -570,6 +622,7 @@ class UNetB(nn.Module):
             feat = _UNetTrunk(dtype=self.dtype, dropout_rate=self.dropout_rate,
                               folded=self.folded, bn_stats=self.bn_stats,
                               bn_mode=self.bn_mode, bn_groups=self.bn_groups,
+                              quantize=self.quantize, calibrate=self.calibrate,
                               name="trunk")(x, train, mc_dropout)
         out = Head(1, dtype=self.dtype, name="conv1x1")(feat)
         out = jnp.squeeze(out, -1).astype(jnp.float32)
@@ -598,6 +651,8 @@ class UNet(nn.Module):
     bn_stats: str = "float32"
     bn_mode: str = "global"
     bn_groups: int = 1
+    quantize: bool = False
+    calibrate: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False, mc_dropout: bool = False):
@@ -610,6 +665,7 @@ class UNet(nn.Module):
             feat = _UNetTrunk(dtype=self.dtype, dropout_rate=self.dropout_rate,
                               folded=self.folded, bn_stats=self.bn_stats,
                               bn_mode=self.bn_mode, bn_groups=self.bn_groups,
+                              quantize=self.quantize, calibrate=self.calibrate,
                               name="trunk")(x, train, mc_dropout)
         out = Head(self.n_cls, dtype=self.dtype, name="conv1x1")(feat).astype(jnp.float32)
         if not self.selective:
@@ -631,6 +687,8 @@ def build_model(
     bn_stats: str = "float32",
     bn_mode: str = "global",
     bn_groups: int = 1,
+    quantize: str = "none",
+    quant_calibrate: bool = False,
 ) -> nn.Module:
     """Factory matching the reference's arch selection (train.py:71-74).
 
@@ -641,10 +699,34 @@ def build_model(
     ``bn_stats`` selects the batch-statistics reduction dtype (LowPrecStatsBN;
     'float32' keeps flax nn.BatchNorm exactly). ``bn_mode='per_replica'``
     swaps in GroupedBatchNorm over ``bn_groups`` emulated DataParallel
-    replicas (the reference's faithful BN semantics, train.py:132-134)."""
+    replicas (the reference's faithful BN semantics, train.py:132-134).
+
+    ``quantize='int8'`` builds the W8A8 serving trunk consuming params from
+    ops.quant.quantize_folded (requires ``folded=True``);
+    ``quant_calibrate=True`` builds the folded float graph that sows each
+    CBR input's absmax into the ``quant_calib`` collection (the calibration
+    pass those params are derived from)."""
     dtype = jnp.dtype(compute_dtype)
     if folded and fused:
         raise ValueError("folded serving graph and fused training trunk are exclusive")
+    if quantize not in ("none", "int8"):
+        raise ValueError(f"unknown quantize {quantize!r} "
+                         "(expected 'none' or 'int8')")
+    if quantize == "int8" or quant_calibrate:
+        # the int8 trunk and its calibration pass exist only on the BN-folded
+        # serving graph — refuse combinations that would silently run
+        # something other than what the flags claim (same policy as the
+        # bn_stats/fused guards below)
+        if not folded:
+            raise ValueError("quantize/quant_calibrate require the BN-folded "
+                             "serving graph (folded=True, ops/fold_bn.py)")
+        if dropout_rate > 0:
+            raise ValueError("quantize/quant_calibrate and dropout_rate > 0 "
+                             "are exclusive (MC-dropout uncertainty runs the "
+                             "bf16 folded graph)")
+    if quantize == "int8" and quant_calibrate:
+        raise ValueError("quantize='int8' and quant_calibrate are exclusive "
+                         "(calibration runs the float folded graph)")
     if fused and bn_stats != "float32":
         # the fused trunk has no LowPrecStatsBN path; silently training
         # f32-stats while the flag says bfloat16 would corrupt experiment
@@ -668,12 +750,14 @@ def build_model(
     if model_arch == "UNet_B":
         return UNetB(selective=selective, dtype=dtype, dropout_rate=dropout_rate,
                      folded=folded, fused=fused, fused_interpret=fused_interpret,
-                     bn_stats=bn_stats, bn_mode=bn_mode, bn_groups=bn_groups)
+                     bn_stats=bn_stats, bn_mode=bn_mode, bn_groups=bn_groups,
+                     quantize=quantize == "int8", calibrate=quant_calibrate)
     if model_arch == "UNet":
         return UNet(n_cls=n_cls, selective=selective, dtype=dtype,
                     dropout_rate=dropout_rate, folded=folded, fused=fused,
                     fused_interpret=fused_interpret, bn_stats=bn_stats,
-                    bn_mode=bn_mode, bn_groups=bn_groups)
+                    bn_mode=bn_mode, bn_groups=bn_groups,
+                    quantize=quantize == "int8", calibrate=quant_calibrate)
     raise ValueError(f"unknown model_arch {model_arch!r} (expected 'UNet' or 'UNet_B')")
 
 

@@ -7,6 +7,13 @@ The reference has no serving story — inference lives in notebook cells
   (utils/checkpoint.py interchange);
 * folds BatchNorm into the convs (ops/fold_bn.py) and jits a bf16 forward —
   the serving graph is pure conv+ReLU on the MXU;
+* ``quantize="int8"``: the W8A8 serving graph instead — per-output-channel
+  int8 trunk weights x static-scale int8 activations with int32 MXU
+  accumulation (ops/quant.py; measured 1.27x over the bf16 folded forward,
+  docs/RESULTS.md). Activation scales come from a calibration pass over
+  representative images: pass ``calibration_images`` (or call
+  :meth:`calibrate`) up front, or let the first ``predict`` batch calibrate
+  lazily;
 * ``predict``: batched probability/mask inference with cut_off;
 * ``predict_wsi``: exact seamless whole-slide masks with bounded memory
   (tools/tiled_inference.py);
@@ -16,7 +23,7 @@ The reference has no serving story — inference lives in notebook cells
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict, List, Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp
@@ -25,6 +32,12 @@ import numpy as np
 from .models import build_model
 from .ops.fold_bn import fold_batchnorm
 from .utils.checkpoint import load_net_checkpoint
+
+# the trunk max-pools 3x, so serving inputs need dims % 8 == 0 (same GRID as
+# tools/tiled_inference); calibration crops are bounded to keep the one-off
+# unjitted calibration forward cheap on huge slides
+_GRID = 8
+_CALIB_MAX_DIM = 1024
 
 
 class Predictor:
@@ -39,11 +52,43 @@ class Predictor:
         s_cut_off: float = 0.5,
         fold_bn: bool = True,
         dropout_rate: float = 0.0,
+        quantize: str = "none",
+        calibration_images: Optional[Union[np.ndarray, Sequence[np.ndarray]]] = None,
     ):
         self.selective = selective
         self.cut_off = cut_off
         self.s_cut_off = s_cut_off
+        self.quantize = quantize
+        if quantize not in ("none", "int8"):
+            raise ValueError(f"unknown quantize {quantize!r} "
+                             "(expected 'none' or 'int8')")
         variables = load_net_checkpoint(checkpoint_path)
+
+        if quantize == "int8":
+            if not fold_bn:
+                raise ValueError("quantize='int8' requires fold_bn=True — the "
+                                 "int8 trunk consumes BN-folded weights "
+                                 "(ops/quant.py)")
+            if dropout_rate > 0:
+                raise ValueError("quantize='int8' and dropout_rate > 0 are "
+                                 "exclusive (MC-dropout uncertainty runs the "
+                                 "bf16 folded graph)")
+            self._folded_params = fold_batchnorm(variables)["params"]
+            # calibration runs the float32 folded graph so absmax statistics
+            # aren't themselves bf16-rounded
+            self._calib_model = build_model(
+                model_arch, n_cls, selective, "float32", folded=True,
+                quant_calibrate=True)
+            self._act_scales = None  # merged calibration tree (ops/quant.py)
+            self.model = build_model(model_arch, n_cls, selective,
+                                     compute_dtype, folded=True,
+                                     quantize="int8")
+            self.variables = None    # set by _finalize_quant after calibration
+            self._forward = None
+            self._tiled_apply = None
+            if calibration_images is not None:
+                self.calibrate(calibration_images)
+            return
 
         # MC uncertainty needs live dropout, which the folded graph supports
         # too; folding only removes BN.
@@ -65,11 +110,66 @@ class Predictor:
         )
         self._tiled_apply = None  # built lazily on first predict_wsi
 
+    # -- int8 calibration -----------------------------------------------------
+    def calibrate(self, images: Union[np.ndarray, Sequence[np.ndarray]]) -> None:
+        """Calibrate the int8 activation scales on raw [0, 1] images and build
+        the quantized serving graph.
+
+        ``images``: one (N, H, W, C) batch or a sequence of (H, W, C) images
+        (sizes may differ; dims must divide 8). Repeated calls merge scales by
+        elementwise max (ops/quant.py) and rebuild the graph — scales only
+        ever widen, so previously-served results stay within their error
+        bound."""
+        if self.quantize != "int8":
+            raise ValueError("calibrate() is only meaningful for "
+                             "Predictor(quantize='int8')")
+        if isinstance(images, np.ndarray) and images.ndim == 3:
+            images = [images]
+        batches: List[np.ndarray] = (
+            [images] if isinstance(images, np.ndarray)
+            else [np.asarray(im)[None] if np.asarray(im).ndim == 3
+                  else np.asarray(im) for im in images])
+        for batch in batches:
+            x = (jnp.asarray(batch, jnp.float32) - 0.5) / 0.5
+            self._calibrate_normalized(x)
+
+    def _calibrate_normalized(self, x: jax.Array) -> None:
+        """One calibration batch (already normalized) -> merge scales and
+        (re)build the quantized forward. Runs the float folded graph UNJITTED
+        — a one-off pass; jitting it would pay a full remote compile for a
+        graph used once (docs/RESULTS.md: 24-1128 s per compile on the
+        tunnel)."""
+        from .ops.quant import extract_act_scales, merge_act_scales
+
+        _, calib = self._calib_model.apply(
+            {"params": self._folded_params}, x, train=False,
+            mutable=["quant_calib"])
+        scales = extract_act_scales(calib)
+        if self._act_scales is not None:
+            scales = merge_act_scales(self._act_scales, scales)
+        self._act_scales = scales
+        self._finalize_quant()
+
+    def _finalize_quant(self) -> None:
+        from .ops.quant import quantize_folded
+
+        qp = quantize_folded(self._folded_params, self._act_scales)
+        self.variables = {"params": qp}
+        self._forward = jax.jit(
+            lambda x: self.model.apply(self.variables, x, train=False)
+        )
+        self._tiled_apply = None  # sharing the stale bf16 wrapper would
+        #                           silently serve unquantized tiles
+
     # -- core ---------------------------------------------------------------
     def logits(self, images: np.ndarray):
         """(N, H, W, C) raw [0, 1] images -> model logits (normalization
-        (x-0.5)/0.5 applied here, matching the training transform)."""
+        (x-0.5)/0.5 applied here, matching the training transform). With
+        ``quantize='int8'`` and no prior calibration, the FIRST batch
+        calibrates the activation scales (and is then served quantized)."""
         x = (jnp.asarray(images, jnp.float32) - 0.5) / 0.5
+        if self._forward is None:  # int8 pending lazy calibration
+            self._calibrate_normalized(x)
         return self._forward(x)
 
     def predict(self, images: np.ndarray) -> Dict[str, np.ndarray]:
@@ -108,8 +208,14 @@ class Predictor:
         cached per wrapper, so alternating mesh/no-mesh calls on one
         Predictor share the same wrapper and recompile only on shape or
         sharding change.
+
+        With ``quantize='int8'`` and no prior calibration, a center crop of
+        this slide (bounded to 1024x1024) calibrates the scales first.
         """
         from .tools.tiled_inference import wsi_mask
+
+        if self._forward is None:  # int8 pending lazy calibration
+            self.calibrate(_center_crop(np.asarray(image, np.float32))[None])
 
         if self._tiled_apply is None:
             # one jit wrapper for the Predictor's lifetime: per-call closures
@@ -132,7 +238,24 @@ class Predictor:
                                  seed: int = 0) -> Dict[str, np.ndarray]:
         from .tools.uncertainty import mc_uncertainty
 
+        if self.quantize != "none":
+            raise ValueError("MC-dropout uncertainty runs the bf16 folded "
+                             "graph; build the Predictor with "
+                             "quantize='none'")
         x = (jnp.asarray(images, jnp.float32) - 0.5) / 0.5
         out = mc_uncertainty(self.model, self.variables, x, n_iter=n_iter,
                              rng=jax.random.PRNGKey(seed), selective=self.selective)
         return {k: np.asarray(v) for k, v in out.items()}
+
+
+def _center_crop(image: np.ndarray) -> np.ndarray:
+    """(H, W, C) -> grid-aligned center crop bounded to _CALIB_MAX_DIM."""
+    h, w = image.shape[:2]
+    ch = min(_CALIB_MAX_DIM, h - h % _GRID)
+    cw = min(_CALIB_MAX_DIM, w - w % _GRID)
+    if ch <= 0 or cw <= 0:
+        raise ValueError(f"image too small to calibrate on: {h}x{w} "
+                         f"(needs >= {_GRID} in both dims)")
+    y0 = (h - ch) // 2
+    x0 = (w - cw) // 2
+    return image[y0:y0 + ch, x0:x0 + cw]

@@ -264,6 +264,13 @@ def main(argv=None) -> None:
     parser.add_argument("--s_cut_off", type=float, default=0.5)
     parser.add_argument("--fold_bn", type=parse_bool, default=True,
                         help="fold BatchNorm into the convs (serving graph)")
+    parser.add_argument("--quantize", default="none", choices=["none", "int8"],
+                        help="int8: W8A8 quantized serving trunk (measured "
+                             "1.27x over the bf16 folded forward on v5e, "
+                             "docs/RESULTS.md). Activation scales calibrate "
+                             "on the first image (whole-image path) or a "
+                             "center crop of the first slide (--tile path); "
+                             "requires --fold_bn 1")
     parser.add_argument("--tile", type=int, nargs=2, default=None,
                         metavar=("H", "W"),
                         help="bounded-memory exact tiled inference with this "
@@ -320,6 +327,13 @@ def main(argv=None) -> None:
         parser.error("--dropout_rate without --uncertainty has no effect "
                      "(inference dropout only runs on the MC path); remove "
                      "the flag or add --uncertainty N")
+    if a.quantize == "int8":
+        if not a.fold_bn:
+            parser.error("--quantize int8 requires --fold_bn 1 (the int8 "
+                         "trunk consumes BN-folded weights, ops/quant.py)")
+        if a.uncertainty:
+            parser.error("--quantize int8 and --uncertainty are exclusive "
+                         "(MC-dropout uncertainty runs the bf16 folded graph)")
 
     from ..utils.checkpoint import resolve_checkpoint
 
@@ -336,7 +350,7 @@ def main(argv=None) -> None:
         ckpt, model_arch=a.model_arch, n_cls=a.n_cls, selective=a.selective,
         compute_dtype=a.compute_dtype, cut_off=a.cut_off,
         s_cut_off=a.s_cut_off, fold_bn=a.fold_bn,
-        dropout_rate=a.dropout_rate,
+        dropout_rate=a.dropout_rate, quantize=a.quantize,
     )
     mesh = None
     if a.shard_windows:
@@ -345,7 +359,8 @@ def main(argv=None) -> None:
         mesh = make_mesh()
         print(f"sharding window batches over {mesh.devices.size} chips")
     print(f"checkpoint: {ckpt} ({a.model_arch}, selective={a.selective}, "
-          f"fold_bn={a.fold_bn}, {a.compute_dtype})")
+          f"fold_bn={a.fold_bn}, {a.compute_dtype}"
+          + (", int8" if a.quantize == "int8" else "") + ")")
 
     seen_stems = set()
     padded_shapes = set()

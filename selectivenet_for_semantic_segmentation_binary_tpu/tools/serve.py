@@ -490,6 +490,18 @@ def main(argv=None) -> None:
     parser.add_argument("--cut_off", type=float, default=0.5)
     parser.add_argument("--s_cut_off", type=float, default=0.5)
     parser.add_argument("--fold_bn", type=parse_bool, default=True)
+    parser.add_argument("--quantize", default="none", choices=["none", "int8"],
+                        help="int8: W8A8 quantized serving trunk (measured "
+                             "1.27x over the bf16 folded forward, "
+                             "docs/RESULTS.md); requires --calib_images")
+    parser.add_argument("--calib_images", nargs="+", default=None,
+                        metavar="PATH",
+                        help="representative images (files or directories) "
+                             "that calibrate the int8 activation scales "
+                             "BEFORE warmup/traffic — lazy first-request "
+                             "calibration would invalidate the warmup "
+                             "compile; preprocessed exactly like requests "
+                             "(--input_type / --blankfield)")
     parser.add_argument("--max_batch", type=int, default=8,
                         help="micro-batch cap; occupancies are padded to "
                              "powers of two up to this")
@@ -527,11 +539,32 @@ def main(argv=None) -> None:
 
     from ..predictor import Predictor
 
+    if a.quantize == "int8":
+        if not a.calib_images:
+            parser.error("--quantize int8 requires --calib_images: the "
+                         "server must calibrate activation scales before "
+                         "warmup/traffic (lazy first-request calibration "
+                         "would recompile after warmup)")
+        if not a.fold_bn:
+            parser.error("--quantize int8 requires --fold_bn 1 (the int8 "
+                         "trunk consumes BN-folded weights, ops/quant.py)")
+    elif a.calib_images:
+        parser.error("--calib_images without --quantize int8 has no effect")
+
     predictor = Predictor(
         ckpt, model_arch=a.model_arch, n_cls=a.n_cls, selective=a.selective,
         compute_dtype=a.compute_dtype, cut_off=a.cut_off,
-        s_cut_off=a.s_cut_off, fold_bn=a.fold_bn,
+        s_cut_off=a.s_cut_off, fold_bn=a.fold_bn, quantize=a.quantize,
     )
+    if a.quantize == "int8":
+        from .predict import _collect_inputs
+
+        paths = _collect_inputs(a.calib_images)
+        calib = [_pad_to_grid(_load_image(p, a.input_type, a.blankfield))[0]
+                 for p in paths]
+        predictor.calibrate(calib)
+        print(f"int8 serving trunk: calibrated on {len(calib)} images",
+              flush=True)
     mesh = None
     if a.shard_chips:
         from ..parallel.mesh import make_mesh
@@ -556,7 +589,7 @@ def main(argv=None) -> None:
         "checkpoint": ckpt, "model_arch": a.model_arch, "n_cls": a.n_cls,
         "selective": bool(a.selective), "compute_dtype": a.compute_dtype,
         "cut_off": a.cut_off, "s_cut_off": a.s_cut_off,
-        "fold_bn": bool(a.fold_bn),
+        "fold_bn": bool(a.fold_bn), "quantize": a.quantize,
     }
     server = make_server(service, a.host, a.port, input_type=a.input_type,
                          blankfield=a.blankfield, max_body_mb=a.max_body_mb,

@@ -77,7 +77,9 @@ def _wsi_forward(model, variables, x, selective: bool):
         x = x.astype(jnp.float32) * (1.0 / 255.0)
         x = (x - 0.5) / 0.5
     out = model.apply(
-        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        # quantized/folded serving trees have no batch_stats collection
+        {"params": variables["params"],
+         "batch_stats": variables.get("batch_stats", {})},
         x, train=False,
     )
     if selective:
@@ -267,6 +269,14 @@ def main(argv=None) -> None:
     parser.add_argument("--batch_size", type=int, default=32)
     parser.add_argument("--num_workers", type=int, default=16)
     parser.add_argument("--compute_dtype", default="bfloat16")
+    parser.add_argument("--quantize", default="none", choices=["none", "int8"],
+                        help="int8: W8A8 quantized serving trunk (BN-folded; "
+                             "measured 1.27x over bf16, docs/RESULTS.md). "
+                             "Activation scales calibrate on the test fold's "
+                             "first patches")
+    parser.add_argument("--calib_patches", type=int, default=8,
+                        help="how many patches calibrate the int8 activation "
+                             "scales (--quantize int8)")
     parser.add_argument("--save_dir", default=None,
                         help="write {slide}_heatmap.png / {slide}_pred.png + "
                              "wsi_performance.csv here")
@@ -292,7 +302,20 @@ def main(argv=None) -> None:
         transform = Compose([BlankfieldCorrection()])
     dataset = PatchDataset(a.data_dir, data_list, a.patch_mag, a.patch_size,
                            a.input_type, transform=transform)
-    print(f"checkpoint: {ckpt} ({a.model_arch}, selective={a.selective})")
+    if a.quantize == "int8":
+        if a.calib_patches < 1:
+            parser.error(f"--calib_patches must be >= 1, got {a.calib_patches}")
+        from ..ops.quant import quantize_serving
+
+        n_calib = min(a.calib_patches, len(dataset))
+        calib = np.stack([np.asarray(dataset[i]["input"], np.float32)
+                          for i in range(n_calib)])
+        model, variables = quantize_serving(
+            a.model_arch, a.n_cls, a.selective, a.compute_dtype, variables,
+            calib)
+        print(f"int8 serving trunk: calibrated on {n_calib} patches")
+    print(f"checkpoint: {ckpt} ({a.model_arch}, selective={a.selective}"
+          + (", int8" if a.quantize == "int8" else "") + ")")
     print(f"test fold {a.test_fold}: {len(dataset)} patches")
 
     results = wsi_inference(
