@@ -31,6 +31,7 @@ import numpy as np
 
 from .models import build_model
 from .ops.fold_bn import fold_batchnorm
+from .ops.ingest import device_ingest, normalize_raw, to_unit_float
 from .utils.checkpoint import load_net_checkpoint
 
 # the trunk max-pools 3x, so serving inputs need dims % 8 == 0 (same GRID as
@@ -106,14 +107,15 @@ class Predictor:
             }
 
         self._forward = jax.jit(
-            lambda x: self.model.apply(self.variables, x, train=False)
+            lambda x: self.model.apply(self.variables, normalize_raw(x),
+                                       train=False)
         )
         self._tiled_apply = None  # built lazily on first predict_wsi
 
     # -- int8 calibration -----------------------------------------------------
     def calibrate(self, images: Union[np.ndarray, Sequence[np.ndarray]]) -> None:
-        """Calibrate the int8 activation scales on raw [0, 1] images and build
-        the quantized serving graph.
+        """Calibrate the int8 activation scales on raw images (float [0, 1]
+        or uint8 [0, 255]) and build the quantized serving graph.
 
         ``images``: one (N, H, W, C) batch or a sequence of (H, W, C) images
         (sizes may differ; dims must divide 8). Repeated calls merge scales by
@@ -130,8 +132,8 @@ class Predictor:
             else [np.asarray(im)[None] if np.asarray(im).ndim == 3
                   else np.asarray(im) for im in images])
         for batch in batches:
-            x = (jnp.asarray(batch, jnp.float32) - 0.5) / 0.5
-            self._calibrate_normalized(x)
+            # eager device normalize: uint8 batches still ship as bytes
+            self._calibrate_normalized(normalize_raw(device_ingest(batch)))
 
     def _calibrate_normalized(self, x: jax.Array) -> None:
         """One calibration batch (already normalized) -> merge scales and
@@ -156,20 +158,25 @@ class Predictor:
         qp = quantize_folded(self._folded_params, self._act_scales)
         self.variables = {"params": qp}
         self._forward = jax.jit(
-            lambda x: self.model.apply(self.variables, x, train=False)
+            lambda x: self.model.apply(self.variables, normalize_raw(x),
+                                       train=False)
         )
         self._tiled_apply = None  # sharing the stale bf16 wrapper would
         #                           silently serve unquantized tiles
 
     # -- core ---------------------------------------------------------------
     def logits(self, images: np.ndarray):
-        """(N, H, W, C) raw [0, 1] images -> model logits (normalization
-        (x-0.5)/0.5 applied here, matching the training transform). With
-        ``quantize='int8'`` and no prior calibration, the FIRST batch
-        calibrates the activation scales (and is then served quantized)."""
-        x = (jnp.asarray(images, jnp.float32) - 0.5) / 0.5
+        """(N, H, W, C) raw images -> model logits. Accepts float [0, 1]
+        (the reference decode convention) or uint8 [0, 255] — uint8 ships
+        1 byte/pixel (4x less H2D, the transfer-bound term of remote
+        serving, docs/RESULTS.md) and /255 + the training normalization
+        (x-0.5)/0.5 fuse into the jitted forward (ops/ingest.py; matches
+        the float path to 1 ulp). With ``quantize='int8'`` and no prior
+        calibration, the FIRST batch calibrates the activation scales (and
+        is then served quantized)."""
+        x = device_ingest(images)
         if self._forward is None:  # int8 pending lazy calibration
-            self._calibrate_normalized(x)
+            self._calibrate_normalized(normalize_raw(x))
         return self._forward(x)
 
     def predict(self, images: np.ndarray) -> Dict[str, np.ndarray]:
@@ -200,7 +207,8 @@ class Predictor:
     # -- whole-slide --------------------------------------------------------
     def predict_wsi(self, image: np.ndarray, tile=(512, 512),
                     batch_size: int = 8, mesh=None) -> Dict[str, np.ndarray]:
-        """Exact seamless full-slide inference ((H, W, C) raw [0, 1] image).
+        """Exact seamless full-slide inference ((H, W, C) raw image, float
+        [0, 1] or uint8 [0, 255] — uint8 slides transfer as bytes).
 
         ``mesh``: optional 1-D device mesh — window batches are sharded
         across its chips (data-parallel windows, zero cross-chip
@@ -215,7 +223,7 @@ class Predictor:
         from .tools.tiled_inference import wsi_mask
 
         if self._forward is None:  # int8 pending lazy calibration
-            self.calibrate(_center_crop(np.asarray(image, np.float32))[None])
+            self.calibrate(_center_crop(np.asarray(image))[None])
 
         if self._tiled_apply is None:
             # one jit wrapper for the Predictor's lifetime: per-call closures
@@ -224,7 +232,10 @@ class Predictor:
             variables.setdefault("batch_stats", {})
 
             def apply_fn(batch):
-                out = self.model.apply(variables, batch, train=False)
+                # windows arrive RAW (uint8 or [0, 1] float) so whole slides
+                # transfer as bytes; normalize fuses into the forward
+                out = self.model.apply(variables, normalize_raw(batch),
+                                       train=False)
                 return out if isinstance(out, tuple) else (out,)
 
             self._tiled_apply = jax.jit(apply_fn)
@@ -242,7 +253,7 @@ class Predictor:
             raise ValueError("MC-dropout uncertainty runs the bf16 folded "
                              "graph; build the Predictor with "
                              "quantize='none'")
-        x = (jnp.asarray(images, jnp.float32) - 0.5) / 0.5
+        x = normalize_raw(device_ingest(images))
         out = mc_uncertainty(self.model, self.variables, x, n_iter=n_iter,
                              rng=jax.random.PRNGKey(seed), selective=self.selective)
         return {k: np.asarray(v) for k, v in out.items()}

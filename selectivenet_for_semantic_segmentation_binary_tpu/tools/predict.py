@@ -77,13 +77,19 @@ def _collect_inputs(paths: List[str]) -> List[str]:
 
 def _load_image(path: str, input_type: str,
                 blankfield: bool = False) -> np.ndarray:
-    """Decode to float32 [0, 1] (H, W, C); GH applies the reference's stain
-    transform (RGB2GH, data_utils.py:13-27) exactly like the train pipeline;
-    blankfield applies BlankfieldCorrection AFTER stain conversion, matching
-    the train/eval transform order (train_lib.py make_loaders)."""
+    """Decode to (H, W, C): raw uint8 for plain RGB (the device fuses
+    /255 + normalization into the forward and the transfer ships 1
+    byte/pixel, ops/ingest.py), float32 [0, 1] when a host-side float
+    transform applies — GH/H_RGB run the reference's stain transform
+    (RGB2GH, data_utils.py:13-27) exactly like the train pipeline;
+    blankfield applies BlankfieldCorrection AFTER stain conversion,
+    matching the train/eval transform order (train_lib.py make_loaders)."""
     from PIL import Image
 
-    img = np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
+    raw = np.asarray(Image.open(path).convert("RGB"))
+    if input_type == "RGB" and not blankfield:
+        return raw  # uint8 fast path
+    img = raw.astype(np.float32) / 255.0
     if input_type == "GH":
         from ..data.stain import RGB2GH
 
@@ -117,12 +123,15 @@ def predict_image(
     batch_size: int = 8,
     mesh=None,
 ) -> Dict[str, np.ndarray]:
-    """One (H, W, C) raw [0, 1] image -> {'prob', 'pred'[, 'selection']}.
+    """One (H, W, C) raw image (float [0, 1] or uint8 [0, 255]) ->
+    {'prob', 'pred'[, 'selection']}.
 
     Handles the pool-grid padding around either the whole-image forward or
-    the exact tiled path; every output is cropped back to (H, W).
+    the exact tiled path; every output is cropped back to (H, W). uint8
+    images keep their dtype through the padding so the device transfer
+    stays 1 byte/pixel (ops/ingest.py).
     """
-    padded, h, w = _pad_to_grid(np.asarray(image, np.float32))
+    padded, h, w = _pad_to_grid(np.asarray(image))
     if tile is not None:
         out = predictor.predict_wsi(padded, tile=tile, batch_size=batch_size,
                                     mesh=mesh)
@@ -147,10 +156,11 @@ def predict_image_with_uncertainty(
     The reference's aggregation (check_MC_dropout.ipynb cells 0-4): ``n_iter``
     stochastic forwards -> per-element variance across repeats -> mean over
     the class axis, negated as confidence. Pads to the pool grid and crops
-    back exactly like :func:`predict_image`. Returns float32
+    back exactly like :func:`predict_image` (uint8 images stay uint8 for
+    the transfer). Returns float32
     {'mean_prob' (H, W, C), 'variance' (H, W, C), 'confidence' (H, W)}.
     """
-    padded, h, w = _pad_to_grid(np.asarray(image, np.float32))
+    padded, h, w = _pad_to_grid(np.asarray(image))
     out = predictor.predict_with_uncertainty(padded[None], n_iter=n_iter,
                                              seed=seed)
     return {k: np.asarray(v[0], np.float32)[:h, :w] for k, v in out.items()}

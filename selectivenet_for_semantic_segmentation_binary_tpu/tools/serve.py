@@ -82,7 +82,7 @@ class ServerBusyError(RuntimeError):
 
 @dataclass
 class _Request:
-    image: np.ndarray          # (H, W, C) float32 [0, 1], already grid-padded
+    image: np.ndarray          # (H, W, C) uint8 [0,255] or float32 [0,1], grid-padded
     orig_hw: Tuple[int, int]   # crop target
     done: threading.Event = field(default_factory=threading.Event)
     result: Optional[Dict[str, np.ndarray]] = None
@@ -157,8 +157,9 @@ class PredictionService:
 
     # -- public ---------------------------------------------------------------
     def predict_one(self, image: np.ndarray) -> Dict[str, np.ndarray]:
-        """One (H, W, C) raw [0, 1] image -> {'prob', 'pred'[, 'selection_prob',
-        'selection']}, each cropped back to (H, W)."""
+        """One (H, W, C) raw image (float [0, 1] or uint8 [0, 255] — uint8
+        ships to the device as bytes, ops/ingest.py) -> {'prob', 'pred'[,
+        'selection_prob', 'selection']}, each cropped back to (H, W)."""
         with self._stats_lock:
             if self.max_queue and self._pending >= self.max_queue:
                 self.stats.n_rejected += 1
@@ -167,7 +168,7 @@ class PredictionService:
                     f"(max_queue={self.max_queue}); retry shortly")
             self._pending += 1
         try:
-            padded, h, w = _pad_to_grid(np.asarray(image, np.float32))
+            padded, h, w = _pad_to_grid(np.asarray(image))
             req = _Request(image=padded, orig_hw=(h, w))
         except BaseException:
             # the slot was reserved above; a pre-enqueue failure must release
@@ -185,9 +186,13 @@ class PredictionService:
             raise req.error
         return req.result
 
-    def warmup(self, h: int, w: int, channels: int) -> None:
-        """Pay the compile for (h, w) at every occupancy bucket."""
-        img = np.zeros((h, w, channels), np.float32)
+    def warmup(self, h: int, w: int, channels: int,
+               dtype=np.float32) -> None:
+        """Pay the compile for (h, w) at every occupancy bucket. ``dtype``
+        must match the traffic's ingest dtype (uint8 for plain-RGB servers,
+        float32 when a host transform runs) — jit specializes per dtype, so
+        a mismatch would push the compile onto the first request."""
+        img = np.zeros((h, w, channels), dtype)
         for b in sorted({self._padded_size(n)
                          for n in range(1, self.max_batch + 1)}):
             self._forward_group([_Request(image=_pad_to_grid(img)[0],
@@ -227,7 +232,8 @@ class PredictionService:
                 if nxt is None:
                     self._queue.put(None)  # re-arm the sentinel, drain group
                     break
-                if nxt.image.shape == first.image.shape:
+                if (nxt.image.shape == first.image.shape
+                        and nxt.image.dtype == first.image.dtype):
                     group.append(nxt)
                 else:
                     mismatched.append(nxt)
@@ -577,12 +583,16 @@ def main(argv=None) -> None:
                                 request_timeout_s=a.request_timeout_s,
                                 mesh=mesh, max_queue=a.max_queue)
     channels = 2 if a.input_type == "GH" else 3
+    # plain-RGB servers ingest uint8 (tools/predict._load_image fast path);
+    # host-transformed inputs (GH/H_RGB stain, blankfield) arrive float32
+    traffic_dtype = (np.uint8 if a.input_type == "RGB" and not a.blankfield
+                     else np.float32)
     if a.warmup:
         h, w = a.warmup
         print(f"warming up {h}x{w} (buckets up to {a.max_batch})...",
               flush=True)
         t0 = time.monotonic()
-        service.warmup(h, w, channels)
+        service.warmup(h, w, channels, dtype=traffic_dtype)
         print(f"warmup done in {time.monotonic() - t0:.1f}s", flush=True)
 
     model_info = {

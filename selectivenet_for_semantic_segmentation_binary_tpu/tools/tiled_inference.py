@@ -160,25 +160,29 @@ def wsi_mask(
 ):
     """Seamless full-slide probability map + binary mask (+ selection mask).
 
-    ``image``: (H, W, C) raw [0, 1] float; normalization (x-0.5)/0.5 applied
-    here (reference transform semantics). ``mesh`` shards window batches
+    ``image``: (H, W, C) raw pixels — float [0, 1] (reference decode
+    convention) or uint8 [0, 255]; uint8 slides transfer to the device as
+    bytes (4x less H2D) and the normalization (x-0.5)/0.5 fuses into the
+    forward either way (ops/ingest.py). ``mesh`` shards window batches
     across chips (see tiled_inference). ``apply_fn``: optional pre-jitted
     tuple-returning forward (batch -> (f[, g, h])) — when given, model and
-    variables are unused and the caller's jit cache is reused across calls.
+    variables are unused, the caller's jit cache is reused across calls,
+    and the fn receives RAW windows (it must normalize itself, as the
+    Predictor's cached wrapper does).
     """
-    x = (np.asarray(image, np.float32) - 0.5) / 0.5
+    from ..ops.ingest import device_ingest, normalize_raw
 
     prebuilt = apply_fn is not None
     if not prebuilt:
         def apply_fn(batch):
             out = model.apply(
                 {"params": variables["params"], "batch_stats": variables["batch_stats"]},
-                batch, train=False,
+                normalize_raw(batch), train=False,
             )
             return out if isinstance(out, tuple) else (out,)
 
-    outs = tiled_inference(apply_fn, jnp.asarray(x), tile, halo, batch_size,
-                           mesh=mesh, jit_apply=not prebuilt)
+    outs = tiled_inference(apply_fn, device_ingest(image), tile, halo,
+                           batch_size, mesh=mesh, jit_apply=not prebuilt)
     if not isinstance(outs, tuple):
         # a prebuilt apply_fn returning a bare array (natural for
         # non-selective models) must not be mistaken for per-head outputs:

@@ -72,10 +72,11 @@ def _wsi_forward(model, variables, x, selective: bool):
     loops) reuse the compiled executable — a closure-local @jax.jit would
     recompile on every call (~20 s per compile on the tunnel)."""
     if x.dtype == jnp.uint8:
+        from ..ops.ingest import normalize_raw
+
         # raw-uint8 fast path: /255 and (x-.5)/.5 fused into the forward,
         # so the host ships 4x less and does zero per-pixel float math
-        x = x.astype(jnp.float32) * (1.0 / 255.0)
-        x = (x - 0.5) / 0.5
+        x = normalize_raw(x)
     out = model.apply(
         # quantized/folded serving trees have no batch_stats collection
         {"params": variables["params"],
