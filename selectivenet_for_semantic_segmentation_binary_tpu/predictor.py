@@ -15,6 +15,12 @@ The reference has no serving story — inference lives in notebook cells
   :meth:`calibrate`) up front, or let the first ``predict`` batch calibrate
   lazily;
 * ``predict``: batched probability/mask inference with cut_off;
+* ``predict_compact``: the transfer-lean variant — sigmoid/softmax +
+  thresholding fuse into the jitted forward and every output ships D2H as
+  uint8 (masks exact, probabilities quantized to 1/255). The synchronous
+  ``predict`` round trip is output-transfer-bound on the axon tunnel
+  (docs/RESULTS.md "raw-uint8 serving ingest"), so shrinking the D2H bytes
+  is the remaining latency lever;
 * ``predict_wsi``: exact seamless whole-slide masks with bounded memory
   (tools/tiled_inference.py);
 * ``predict_with_uncertainty``: MC stochastic-forward variance/confidence
@@ -87,6 +93,7 @@ class Predictor:
             self.variables = None    # set by _finalize_quant after calibration
             self._forward = None
             self._tiled_apply = None
+            self._compact = None
             if calibration_images is not None:
                 self.calibrate(calibration_images)
             return
@@ -111,6 +118,7 @@ class Predictor:
                                        train=False)
         )
         self._tiled_apply = None  # built lazily on first predict_wsi
+        self._compact = None      # built lazily on first predict_compact
 
     # -- int8 calibration -----------------------------------------------------
     def calibrate(self, images: Union[np.ndarray, Sequence[np.ndarray]]) -> None:
@@ -163,6 +171,7 @@ class Predictor:
         )
         self._tiled_apply = None  # sharing the stale bf16 wrapper would
         #                           silently serve unquantized tiles
+        self._compact = None      # ditto for the compact postprocess graph
 
     # -- core ---------------------------------------------------------------
     def logits(self, images: np.ndarray):
@@ -203,6 +212,69 @@ class Predictor:
             result["selection_prob"] = sp
             result["selection"] = (sp > self.s_cut_off).astype(np.uint8)
         return result
+
+    def predict_compact(self, images: np.ndarray,
+                        want_prob: bool = True) -> Dict[str, np.ndarray]:
+        """Transfer-lean :meth:`predict`: everything ships D2H as uint8.
+
+        Returns ``{'pred', 'prob_u8'[, 'selection', 'selection_prob_u8']}``;
+        with ``want_prob=False`` only the masks (``pred``[, ``selection``])
+        come back — half the D2H again, for consumers that never read the
+        probability map (the serve PNG/JSON formats, mask-only pipelines).
+        ``pred``/``selection`` are the SAME masks ``predict`` derives (the
+        threshold compares in the probability's native dtype, like numpy's
+        weak-scalar promotion on the host path); probabilities come back
+        quantized, ``prob_u8 = round(prob * 255)`` — reconstruct with
+        ``prob_u8 / 255`` (max error 1/510).
+
+        Rationale: the synchronous serving round trip is output-transfer
+        bound once inputs ship as bytes (docs/RESULTS.md). ``predict`` runs
+        sigmoid as two eager device dispatches, ships bf16 probability
+        planes, and thresholds on the (1-core) host; this path fuses
+        sigmoid/threshold/quantize into the jitted forward, ships uint8
+        planes (masks-only: 2 bytes/pixel for the selective head vs
+        predict's 4), and does zero host math. The reference has no serving
+        path to compare (inference is notebook cells, u-net_testing.ipynb
+        cell 6).
+        """
+        x = device_ingest(images)
+        if self._forward is None:  # int8 pending lazy calibration
+            self._calibrate_normalized(normalize_raw(x))
+        if self._compact is None:
+            self._compact = {}
+        key = bool(want_prob)
+        if key not in self._compact:
+            self._compact[key] = self._build_compact(key)
+        return {k: np.asarray(v) for k, v in self._compact[key](x).items()}
+
+    def _build_compact(self, want_prob: bool):
+        model, variables, selective = self.model, self.variables, self.selective
+        cut, s_cut = self.cut_off, self.s_cut_off
+
+        def to_u8(prob):
+            return jnp.round(prob.astype(jnp.float32) * 255.0).astype(jnp.uint8)
+
+        def fn(x):
+            out = model.apply(variables, normalize_raw(x), train=False)
+            f, g = (out[0], out[1]) if selective else (out, None)
+            res = {}
+            if f.ndim == 3:
+                prob = jax.nn.sigmoid(f)
+                res["pred"] = (prob > jnp.asarray(cut, prob.dtype)).astype(jnp.uint8)
+            else:
+                prob = jax.nn.softmax(f, axis=-1)[..., 1]
+                res["pred"] = jnp.argmax(f, axis=-1).astype(jnp.uint8)
+            if want_prob:
+                res["prob_u8"] = to_u8(prob)
+            if g is not None:
+                sp = (jax.nn.sigmoid(g) if g.ndim == 3
+                      else jax.nn.softmax(g, axis=-1)[..., 1])
+                res["selection"] = (sp > jnp.asarray(s_cut, sp.dtype)).astype(jnp.uint8)
+                if want_prob:
+                    res["selection_prob_u8"] = to_u8(sp)
+            return res
+
+        return jax.jit(fn)
 
     # -- whole-slide --------------------------------------------------------
     def predict_wsi(self, image: np.ndarray, tile=(512, 512),

@@ -124,12 +124,17 @@ class PredictionService:
     def __init__(self, predictor, max_batch: int = 8,
                  batch_window_ms: float = 5.0,
                  request_timeout_s: float = 1800.0, mesh=None,
-                 max_queue: int = 0):
+                 max_queue: int = 0, compact_output: bool = False):
         if max_batch < 1:
             raise ValueError(f"max_batch must be >= 1, got {max_batch}")
         if max_queue < 0:
             raise ValueError(f"max_queue must be >= 0, got {max_queue}")
         self.predictor = predictor
+        # compact_output: the device thresholds + quantizes on-chip and the
+        # whole response ships D2H as uint8 (Predictor.predict_compact) —
+        # masks identical, probabilities quantized to 1/255. The response
+        # schema is unchanged (prob reconstructed as prob_u8/255).
+        self.compact_output = bool(compact_output)
         self.max_batch = int(max_batch)
         # backpressure: > 0 caps the pending-request depth; predict_one then
         # fails fast with ServerBusyError (HTTP 503) instead of queueing into
@@ -271,7 +276,10 @@ class PredictionService:
             import jax
 
             batch = jax.device_put(batch, self._sharding)
-        out = self.predictor.predict(batch)
+        if self.compact_output:
+            out = self.predictor.predict_compact(batch)
+        else:
+            out = self.predictor.predict(batch)
         with self._stats_lock:
             self.stats.n_requests += n
             self.stats.n_batches += 1
@@ -281,10 +289,16 @@ class PredictionService:
         for i, r in enumerate(group):
             h, w = r.orig_hw
             res = {k: v[i, :h, :w] for k, v in out.items()}
-            res["prob"] = np.asarray(res["prob"], np.float32)
-            if "selection_prob" in res:
-                res["selection_prob"] = np.asarray(res["selection_prob"],
-                                                   np.float32)
+            if self.compact_output:  # same response schema, 1/255-quantized
+                res["prob"] = res.pop("prob_u8").astype(np.float32) / 255.0
+                if "selection_prob_u8" in res:
+                    res["selection_prob"] = (
+                        res.pop("selection_prob_u8").astype(np.float32) / 255.0)
+            else:
+                res["prob"] = np.asarray(res["prob"], np.float32)
+                if "selection_prob" in res:
+                    res["selection_prob"] = np.asarray(res["selection_prob"],
+                                                       np.float32)
             r.result = res
             r.done.set()
 
@@ -524,6 +538,14 @@ def main(argv=None) -> None:
                              "+ Retry-After instead of queueing into "
                              "unbounded latency. 0 = unbounded (default); "
                              "a good production value is 4*max_batch")
+    parser.add_argument("--compact_output", type=parse_bool, default=False,
+                        help="threshold + quantize on-device and ship every "
+                             "response plane D2H as uint8 "
+                             "(Predictor.predict_compact): pred/selection "
+                             "masks identical, prob/selection_prob "
+                             "quantized to 1/255; same response schema. "
+                             "Cuts the output-transfer term of serving "
+                             "latency (docs/RESULTS.md)")
     parser.add_argument("--request_timeout_s", type=float, default=1800.0)
     parser.add_argument("--max_body_mb", type=float, default=64.0)
     parser.add_argument("--warmup", type=int, nargs=2, default=None,
@@ -581,7 +603,8 @@ def main(argv=None) -> None:
     service = PredictionService(predictor, max_batch=a.max_batch,
                                 batch_window_ms=a.batch_window_ms,
                                 request_timeout_s=a.request_timeout_s,
-                                mesh=mesh, max_queue=a.max_queue)
+                                mesh=mesh, max_queue=a.max_queue,
+                                compact_output=a.compact_output)
     channels = 2 if a.input_type == "GH" else 3
     # plain-RGB servers ingest uint8 (tools/predict._load_image fast path);
     # host-transformed inputs (GH/H_RGB stain, blankfield) arrive float32
@@ -600,6 +623,7 @@ def main(argv=None) -> None:
         "selective": bool(a.selective), "compute_dtype": a.compute_dtype,
         "cut_off": a.cut_off, "s_cut_off": a.s_cut_off,
         "fold_bn": bool(a.fold_bn), "quantize": a.quantize,
+        "compact_output": bool(a.compact_output),
     }
     server = make_server(service, a.host, a.port, input_type=a.input_type,
                          blankfield=a.blankfield, max_body_mb=a.max_body_mb,

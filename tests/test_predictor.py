@@ -67,3 +67,113 @@ class TestPredictor:
         out = p.predict_with_uncertainty(imgs, n_iter=6)
         assert out["confidence"].shape == (1, 32, 32)
         assert float(out["variance"].max()) > 0.0
+
+
+@pytest.fixture(scope="module")
+def ckpt_ce(tmp_path_factory):
+    """Multi-class CE-head UNet checkpoint (reference model.py:106-191)."""
+    d = tmp_path_factory.mktemp("pred_ckpt_ce")
+    model = build_model("UNet", n_cls=3, selective=False,
+                        compute_dtype="float32")
+    variables = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 3)),
+                           train=False)
+    variables = jax.device_get(variables)
+    save_checkpoint(str(d), {"net": {
+        "params": variables["params"], "batch_stats": variables["batch_stats"],
+    }, "epoch": 1}, 1)
+    return str(d) + "/model_epoch1.ckpt"
+
+
+class TestPredictCompact:
+    """predict_compact: on-device threshold + 1/255 prob quantization, all
+    outputs uint8 (the D2H-lean serving path)."""
+
+    def test_matches_full_selective(self, ckpt_selective, rng):
+        path, _ = ckpt_selective
+        p = Predictor(path, selective=True, compute_dtype="float32")
+        imgs = rng.random((2, 32, 32, 3)).astype(np.float32)
+        full = p.predict(imgs)
+        comp = p.predict_compact(imgs)
+        assert set(comp) == {"pred", "prob_u8", "selection",
+                             "selection_prob_u8"}
+        for k, v in comp.items():
+            assert v.dtype == np.uint8, k
+        np.testing.assert_array_equal(comp["pred"], full["pred"])
+        np.testing.assert_array_equal(comp["selection"], full["selection"])
+        # quantized prob reconstructs the float prob within half a step
+        for u8_key, f_key in (("prob_u8", "prob"),
+                              ("selection_prob_u8", "selection_prob")):
+            rec = comp[u8_key].astype(np.float32) / 255.0
+            assert np.abs(rec - full[f_key].astype(np.float32)).max() \
+                <= 0.5 / 255.0 + 1e-6
+
+    def test_matches_full_multiclass(self, ckpt_ce, rng):
+        p = Predictor(ckpt_ce, model_arch="UNet", n_cls=3, selective=False,
+                      compute_dtype="float32")
+        imgs = rng.random((2, 32, 32, 3)).astype(np.float32)
+        full = p.predict(imgs)
+        comp = p.predict_compact(imgs)
+        assert set(comp) == {"pred", "prob_u8"}
+        np.testing.assert_array_equal(comp["pred"], full["pred"])
+        rec = comp["prob_u8"].astype(np.float32) / 255.0
+        assert np.abs(rec - full["prob"].astype(np.float32)).max() \
+            <= 0.5 / 255.0 + 1e-6
+
+    def test_uint8_ingest_and_cutoffs(self, ckpt_selective, rng):
+        """uint8 batches ship as bytes into the SAME compact graph, and the
+        constructor cutoffs drive the on-device thresholds."""
+        path, _ = ckpt_selective
+        u8 = (rng.random((2, 32, 32, 3)) * 255).astype(np.uint8)
+        lo = Predictor(path, selective=True, compute_dtype="float32",
+                       cut_off=0.01)
+        hi = Predictor(path, selective=True, compute_dtype="float32",
+                       cut_off=0.99)
+        a, b = lo.predict_compact(u8), hi.predict_compact(u8)
+        assert a["pred"].sum() >= b["pred"].sum()
+        np.testing.assert_array_equal(a["pred"],
+                                      lo.predict(u8)["pred"])
+
+    def test_int8_lazy_calibration(self, ckpt_selective, rng):
+        """predict_compact on an uncalibrated int8 Predictor calibrates off
+        the first batch (same contract as logits()/predict())."""
+        path, _ = ckpt_selective
+        imgs = rng.random((1, 32, 32, 3)).astype(np.float32)
+        pq = Predictor(path, selective=True, compute_dtype="float32",
+                       quantize="int8")
+        comp = pq.predict_compact(imgs)
+        full = pq.predict(imgs)  # now-calibrated graph
+        np.testing.assert_array_equal(comp["pred"], full["pred"])
+        np.testing.assert_array_equal(comp["selection"], full["selection"])
+
+    def test_recalibration_rebuilds_compact_graph(self, ckpt_selective, rng):
+        """calibrate() after a compact forward must invalidate the cached
+        compact graph (stale scales would silently serve wrong outputs)."""
+        path, _ = ckpt_selective
+        imgs = rng.random((1, 32, 32, 3)).astype(np.float32)
+        pq = Predictor(path, selective=True, compute_dtype="float32",
+                       quantize="int8", calibration_images=imgs)
+        first = pq.predict_compact(imgs)
+        assert pq._compact is not None
+        # widen the scales: the cached graph must be dropped and rebuilt
+        pq.calibrate((rng.random((1, 32, 32, 3)) * 4 - 1.5)
+                     .astype(np.float32).clip(0, 1))
+        assert pq._compact is None
+        again = pq.predict_compact(imgs)
+        assert first["pred"].shape == again["pred"].shape
+
+    def test_masks_only(self, ckpt_selective, rng):
+        """want_prob=False returns just the uint8 masks (half the D2H) and
+        they equal the full-precision path's."""
+        path, _ = ckpt_selective
+        p = Predictor(path, selective=True, compute_dtype="float32")
+        imgs = rng.random((2, 32, 32, 3)).astype(np.float32)
+        masks = p.predict_compact(imgs, want_prob=False)
+        assert set(masks) == {"pred", "selection"}
+        full = p.predict(imgs)
+        np.testing.assert_array_equal(masks["pred"], full["pred"])
+        np.testing.assert_array_equal(masks["selection"], full["selection"])
+        # both graph variants stay cached side by side
+        both = p.predict_compact(imgs)
+        assert set(both) == {"pred", "prob_u8", "selection",
+                             "selection_prob_u8"}
+        assert set(p._compact) == {True, False}

@@ -23,6 +23,9 @@ from PIL import Image
 
 from selectivenet_for_semantic_segmentation_binary_tpu.models import build_model
 from selectivenet_for_semantic_segmentation_binary_tpu.predictor import Predictor
+from selectivenet_for_semantic_segmentation_binary_tpu.tools.predict import (
+    _pad_to_grid,
+)
 from selectivenet_for_semantic_segmentation_binary_tpu.tools.serve import (
     PredictionService,
     ServerBusyError,
@@ -554,3 +557,62 @@ class TestShardChips:
         np.testing.assert_allclose(got["prob"], want["prob"][0, :36, :44],
                                    atol=1e-5)
         np.testing.assert_array_equal(got["pred"], want["pred"][0, :36, :44])
+
+
+class TestCompactOutput:
+    """--compact_output: uint8 D2H, identical masks, 1/255-quantized probs,
+    unchanged response schema."""
+
+    def test_service_matches_full_precision(self, served, image_arr):
+        url, _, predictor = served
+        compact = PredictionService(predictor, max_batch=4,
+                                    batch_window_ms=10.0,
+                                    request_timeout_s=300.0,
+                                    compact_output=True)
+        try:
+            img = image_arr.astype(np.float32) / 255.0
+            padded, h, w = _pad_to_grid(img)
+            full = predictor.predict(padded[None])
+            res = compact.predict_one(padded)
+            assert set(res) == {"prob", "pred", "selection_prob", "selection"}
+            assert res["prob"].dtype == np.float32
+            np.testing.assert_array_equal(res["pred"], full["pred"][0])
+            np.testing.assert_array_equal(res["selection"],
+                                          full["selection"][0])
+            assert np.abs(res["prob"] - full["prob"][0].astype(np.float32)
+                          ).max() <= 0.5 / 255.0 + 1e-6
+        finally:
+            compact.close()
+
+    def test_http_server_serves_compact(self, image_arr, tmp_path):
+        """End-to-end HTTP: compact server's npz maps match the direct
+        Predictor within the 1/255 quantization step."""
+        ckpt = _make_ckpt(str(tmp_path), selective=True)
+        predictor = Predictor(ckpt, selective=True, compute_dtype="float32")
+        service = PredictionService(predictor, max_batch=2,
+                                    batch_window_ms=5.0,
+                                    request_timeout_s=300.0,
+                                    compact_output=True)
+        server = make_server(service, "127.0.0.1", 0,
+                             model_info={"compact_output": True})
+        thread = threading.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+        url = f"http://127.0.0.1:{server.server_address[1]}"
+        try:
+            code, body, _ = _request(url + "/predict?format=npz",
+                                     method="POST",
+                                     data=_png_bytes(image_arr))
+            assert code == 200
+            maps = np.load(io.BytesIO(body))
+            img = image_arr.astype(np.float32) / 255.0
+            padded, h, w = _pad_to_grid(img)
+            direct = predictor.predict(padded[None])
+            np.testing.assert_array_equal(maps["pred"],
+                                          direct["pred"][0, :h, :w])
+            assert np.abs(maps["prob"]
+                          - direct["prob"][0, :h, :w].astype(np.float32)
+                          ).max() <= 0.5 / 255.0 + 1e-6
+        finally:
+            server.shutdown()
+            server.server_close()
+            service.close()
