@@ -2,11 +2,13 @@
 
 After round 4's uint8 ingest, the SYNCHRONOUS serving round trip is
 output-transfer-bound (docs/RESULTS.md): predict() runs sigmoid eagerly on
-device, ships prob (+ selection_prob) D2H at float precision, and thresholds
-on the host — 8 bytes/pixel of D2H for the selective head.
+device, ships the bf16 prob (+ selection_prob) planes D2H — 4 bytes/pixel
+for the selective head (2 for non-selective) — and thresholds on the host.
 Predictor.predict_compact fuses sigmoid/threshold/quantize into the jitted
-forward and ships 4 uint8 planes (4 bytes/pixel; 2 for non-selective), so the
-D2H term shrinks 2-4x and the eager device dispatches disappear.
+forward and ships uint8 planes: with want_prob=True the byte count MATCHES
+predict's (4 uint8 planes vs 2 bf16 planes) and the win comes from the fused
+on-device postprocess + single dispatch; masks-only (want_prob=False) halves
+the D2H on top (2 uint8 planes; 1 for non-selective).
 
 Methodology: identical to scripts/ingest_speed.py — the axon tunnel's
 per-call latency drifts by seconds over minutes, so sequential A-then-B
@@ -39,7 +41,7 @@ def median(ts):
     return sorted(ts)[len(ts) // 2]
 
 
-def make_random_ckpt(workdir: str) -> str:
+def make_random_ckpt(workdir: str, selective: bool = True) -> str:
     import jax
     import jax.numpy as jnp
 
@@ -50,7 +52,7 @@ def make_random_ckpt(workdir: str) -> str:
         save_checkpoint,
     )
 
-    model = build_model("UNet_B", selective=True, compute_dtype="float32")
+    model = build_model("UNet_B", selective=selective, compute_dtype="float32")
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
                            train=False)
     variables = jax.device_get(variables)
@@ -79,7 +81,8 @@ def main():
     )
 
     print(f"devices: {jax.devices()}", flush=True)
-    ckpt = args.ckpt or make_random_ckpt(tempfile.mkdtemp(prefix="compact_"))
+    ckpt = args.ckpt or make_random_ckpt(tempfile.mkdtemp(prefix="compact_"),
+                                         selective=args.selective)
 
     p = Predictor(ckpt, selective=args.selective, quantize=args.quantize)
     rng = np.random.default_rng(0)
@@ -129,7 +132,8 @@ def main():
         "full_patches_per_s": round(B / med["full"], 1),
         "compact_patches_per_s": round(B / med["compact"], 1),
         "masks_patches_per_s": round(B / med["masks"], 1),
-        # full: bf16 prob planes D2H + host threshold; compact: uint8 planes
+        # full: bf16 prob planes D2H + host threshold; compact (want_prob):
+        # prob_u8 + mask planes — same byte count as full; masks-only: half
         "d2h_bytes_full": px * 2 * planes,
         "d2h_bytes_compact": px * 2 * planes,
         "d2h_bytes_masks": px * planes,

@@ -125,6 +125,14 @@ class TrainConfig:
     sp_ways: int = 1                 # spatial-parallel training: shard image
                                      # rows sp_ways across the mesh (DP x SP);
                                      # GSPMD inserts the conv halo exchanges
+    train_quant: str = "none"        # 'int8': QAT — int8 W8A8 forward convs
+                                     # in the train step (dynamic absmax
+                                     # scales), bf16 straight-through
+                                     # backward; valid/eval run the float
+                                     # graph. Opt-in numerics deviation in
+                                     # the --bn_stats mold (models/unet.py
+                                     # int8_ste_conv); measured throughput/
+                                     # convergence in docs/RESULTS.md
     remat: bool = False              # rematerialize the forward in backward
                                      # (jax.checkpoint over the loss fn):
                                      # trades ~10% throughput at 256px for a
@@ -192,8 +200,13 @@ class EvalConfig:
     sp_ways: int = 1  # spatial-parallel eval: shard image rows sp_ways (DP x SP)
     # 'int8': W8A8 quantized serving forward (ops/quant.py; measured 1.27x
     # over bf16 on v5e). Activation scales calibrate on the test fold's first
-    # patches; every ensemble member quantizes independently.
+    # --calib_patches patches; every ensemble member quantizes independently.
     quantize: str = "none"
+    # int8 calibration-sample width. 8 suffices on the synthetic task (metric
+    # delta <= 3e-4 vs bf16 and insensitive 8 -> 64, docs/RESULTS.md); widen
+    # for stain-diverse real WSI cohorts — scales only ever widen with more
+    # samples (absmax), so a larger sample is never less safe, just slower.
+    calib_patches: int = 8
 
     @property
     def n_devices(self) -> int:

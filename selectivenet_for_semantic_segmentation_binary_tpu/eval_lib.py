@@ -270,18 +270,18 @@ def make_eval_loader(cfg: EvalConfig, mesh, data_list=None) -> PatchLoader:
                        seed=cfg.seed, sharding=batch_sharding(mesh), **proc)
 
 
-_CALIB_PATCHES = 8  # int8 activation-scale calibration sample (first patches
-#                     of the test fold; input statistics only — no labels)
-
-
 def _quantize_models(cfg: EvalConfig, variables_list: List[Dict],
                      verbose: bool):
     """``--quantize int8``: fold + calibrate + quantize every checkpoint
-    (ops/quant.py). Calibration images are the test fold's first patches,
-    decoded raw [0, 1] with the same pre-normalization transforms the eval
-    loader applies (stain conversion inside PatchDataset, then blankfield)."""
+    (ops/quant.py). Calibration images are the test fold's first
+    ``--calib_patches`` patches (input statistics only — no labels), decoded
+    raw [0, 1] with the same pre-normalization transforms the eval loader
+    applies (stain conversion inside PatchDataset, then blankfield)."""
     from .ops.quant import quantize_serving
 
+    n_want = int(getattr(cfg, "calib_patches", 8))
+    if n_want < 1:
+        raise ValueError(f"--calib_patches must be >= 1, got {n_want}")
     data_list = construct_test(cfg.data_dir, test_fold=cfg.test_fold)
     transform = None
     if getattr(cfg, "blankfield", False):
@@ -290,7 +290,7 @@ def _quantize_models(cfg: EvalConfig, variables_list: List[Dict],
         transform = Compose([BlankfieldCorrection()])
     ds = PatchDataset(cfg.data_dir, data_list, cfg.patch_mag, cfg.patch_size,
                       cfg.input_type, transform=transform)
-    n_calib = min(_CALIB_PATCHES, len(ds))
+    n_calib = min(n_want, len(ds))
     calib = np.stack([np.asarray(ds[i]["input"], np.float32)
                       for i in range(n_calib)])
     model = None

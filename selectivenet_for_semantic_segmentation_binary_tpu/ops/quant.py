@@ -109,6 +109,13 @@ def quantize_folded(folded_params: Dict[str, Any],
                         f"no calibrated activation scale for CBR {path!r} — "
                         "run calibration over at least one batch before "
                         "quantizing (Predictor.calibrate)")
+                if not np.isfinite(s) or s <= 0.0:
+                    # a zero scale (all-constant calibration input) or a
+                    # NaN/inf (poisoned activations) would silently garbage
+                    # every downstream layer via dequant division
+                    raise ValueError(
+                        f"degenerate activation scale {s!r} for CBR {path!r}"
+                        " — calibrate on representative non-constant images")
                 kq, ks = quantize_kernel(kernel)
                 return {"conv": {
                     "kernel_q": kq,

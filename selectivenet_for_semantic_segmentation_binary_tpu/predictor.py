@@ -198,7 +198,13 @@ class Predictor:
 
         if f.ndim == 3:
             prob = np.asarray(jax.nn.sigmoid(f))
-            pred = (prob > self.cut_off).astype(np.uint8)
+            # threshold in float32 (an exact superset of bf16 prob values) so
+            # the mask bit-matches predict_compact's on-device comparison for
+            # ANY cutoff — comparing the raw bf16 prob against the Python
+            # float would run in float64 while the compact graph cannot,
+            # diverging on cutoffs not representable in the compute dtype
+            pred = (prob.astype(np.float32) > np.float32(self.cut_off)
+                    ).astype(np.uint8)
         else:
             prob = np.asarray(jax.nn.softmax(f, axis=-1))[..., 1]
             pred = np.asarray(jnp.argmax(f, axis=-1)).astype(np.uint8)
@@ -210,7 +216,8 @@ class Predictor:
             else:
                 sp = np.asarray(jax.nn.softmax(g, axis=-1))[..., 1]
             result["selection_prob"] = sp
-            result["selection"] = (sp > self.s_cut_off).astype(np.uint8)
+            result["selection"] = (sp.astype(np.float32)
+                                   > np.float32(self.s_cut_off)).astype(np.uint8)
         return result
 
     def predict_compact(self, images: np.ndarray,
@@ -221,9 +228,10 @@ class Predictor:
         with ``want_prob=False`` only the masks (``pred``[, ``selection``])
         come back — half the D2H again, for consumers that never read the
         probability map (the serve PNG/JSON formats, mask-only pipelines).
-        ``pred``/``selection`` are the SAME masks ``predict`` derives (the
-        threshold compares in the probability's native dtype, like numpy's
-        weak-scalar promotion on the host path); probabilities come back
+        ``pred``/``selection`` are the SAME masks ``predict`` derives (both
+        paths cast the probability to float32 — exact for bf16 — and compare
+        against float32(cutoff), so the masks bit-match even for cutoffs not
+        representable in the compute dtype); probabilities come back
         quantized, ``prob_u8 = round(prob * 255)`` — reconstruct with
         ``prob_u8 / 255`` (max error 1/510).
 
@@ -260,7 +268,10 @@ class Predictor:
             res = {}
             if f.ndim == 3:
                 prob = jax.nn.sigmoid(f)
-                res["pred"] = (prob > jnp.asarray(cut, prob.dtype)).astype(jnp.uint8)
+                # float32 comparison, mirroring predict()'s host threshold
+                # exactly (bf16 -> float32 is value-preserving)
+                res["pred"] = (prob.astype(jnp.float32)
+                               > jnp.float32(cut)).astype(jnp.uint8)
             else:
                 prob = jax.nn.softmax(f, axis=-1)[..., 1]
                 res["pred"] = jnp.argmax(f, axis=-1).astype(jnp.uint8)
@@ -269,7 +280,8 @@ class Predictor:
             if g is not None:
                 sp = (jax.nn.sigmoid(g) if g.ndim == 3
                       else jax.nn.softmax(g, axis=-1)[..., 1])
-                res["selection"] = (sp > jnp.asarray(s_cut, sp.dtype)).astype(jnp.uint8)
+                res["selection"] = (sp.astype(jnp.float32)
+                                    > jnp.float32(s_cut)).astype(jnp.uint8)
                 if want_prob:
                     res["selection_prob_u8"] = to_u8(sp)
             return res

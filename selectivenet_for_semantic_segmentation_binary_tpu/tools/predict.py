@@ -279,8 +279,19 @@ def main(argv=None) -> None:
                              "1.27x over the bf16 folded forward on v5e, "
                              "docs/RESULTS.md). Activation scales calibrate "
                              "on the first image (whole-image path) or a "
-                             "center crop of the first slide (--tile path); "
-                             "requires --fold_bn 1")
+                             "center crop of the first slide (--tile path) "
+                             "unless --calib_images is given; requires "
+                             "--fold_bn 1")
+    parser.add_argument("--calib_images", nargs="+", default=None,
+                        metavar="PATH",
+                        help="representative images (files or directories) "
+                             "that calibrate the int8 activation scales "
+                             "up front instead of the lazy first-input "
+                             "calibration — same semantics as snet-serve; "
+                             "preprocessed exactly like the inputs "
+                             "(--input_type / --blankfield). Scales widen "
+                             "monotonically with more samples (absmax), so "
+                             "a stain-diverse sample is never less safe")
     parser.add_argument("--tile", type=int, nargs=2, default=None,
                         metavar=("H", "W"),
                         help="bounded-memory exact tiled inference with this "
@@ -344,6 +355,8 @@ def main(argv=None) -> None:
         if a.uncertainty:
             parser.error("--quantize int8 and --uncertainty are exclusive "
                          "(MC-dropout uncertainty runs the bf16 folded graph)")
+    elif a.calib_images:
+        parser.error("--calib_images without --quantize int8 has no effect")
 
     from ..utils.checkpoint import resolve_checkpoint
 
@@ -362,6 +375,12 @@ def main(argv=None) -> None:
         s_cut_off=a.s_cut_off, fold_bn=a.fold_bn,
         dropout_rate=a.dropout_rate, quantize=a.quantize,
     )
+    if a.quantize == "int8" and a.calib_images:
+        calib_paths = _collect_inputs(a.calib_images)
+        calib = [_pad_to_grid(_load_image(p, a.input_type, a.blankfield))[0]
+                 for p in calib_paths]
+        predictor.calibrate(calib)
+        print(f"int8 serving trunk: calibrated on {len(calib)} images")
     mesh = None
     if a.shard_windows:
         from ..parallel.mesh import make_mesh

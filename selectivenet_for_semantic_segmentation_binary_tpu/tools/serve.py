@@ -84,6 +84,7 @@ class ServerBusyError(RuntimeError):
 class _Request:
     image: np.ndarray          # (H, W, C) uint8 [0,255] or float32 [0,1], grid-padded
     orig_hw: Tuple[int, int]   # crop target
+    want_prob: bool = True     # False (compact servers only): masks suffice
     done: threading.Event = field(default_factory=threading.Event)
     result: Optional[Dict[str, np.ndarray]] = None
     error: Optional[BaseException] = None
@@ -132,8 +133,11 @@ class PredictionService:
         self.predictor = predictor
         # compact_output: the device thresholds + quantizes on-chip and the
         # whole response ships D2H as uint8 (Predictor.predict_compact) —
-        # masks identical, probabilities quantized to 1/255. The response
-        # schema is unchanged (prob reconstructed as prob_u8/255).
+        # masks identical, probabilities quantized to 1/255 (reconstructed
+        # as prob_u8/255 when requested). Requests that declare
+        # want_prob=False (the HTTP json/png formats) skip the prob planes
+        # entirely and ride the masks-only graph when the whole micro-batch
+        # agrees.
         self.compact_output = bool(compact_output)
         self.max_batch = int(max_batch)
         # backpressure: > 0 caps the pending-request depth; predict_one then
@@ -161,10 +165,18 @@ class PredictionService:
         self._worker.start()
 
     # -- public ---------------------------------------------------------------
-    def predict_one(self, image: np.ndarray) -> Dict[str, np.ndarray]:
+    def predict_one(self, image: np.ndarray,
+                    want_prob: bool = True) -> Dict[str, np.ndarray]:
         """One (H, W, C) raw image (float [0, 1] or uint8 [0, 255] — uint8
         ships to the device as bytes, ops/ingest.py) -> {'prob', 'pred'[,
-        'selection_prob', 'selection']}, each cropped back to (H, W)."""
+        'selection_prob', 'selection']}, each cropped back to (H, W).
+
+        ``want_prob=False`` (only meaningful on a ``compact_output`` service)
+        declares that the caller reads masks only: if every request in the
+        micro-batch agrees, the device ships just the uint8 masks — half the
+        D2H again over compact (the measured masks-only path,
+        docs/RESULTS.md) — and the result has no ``prob``/``selection_prob``.
+        A full-precision service ignores the hint (prob is free there)."""
         with self._stats_lock:
             if self.max_queue and self._pending >= self.max_queue:
                 self.stats.n_rejected += 1
@@ -174,7 +186,8 @@ class PredictionService:
             self._pending += 1
         try:
             padded, h, w = _pad_to_grid(np.asarray(image))
-            req = _Request(image=padded, orig_hw=(h, w))
+            req = _Request(image=padded, orig_hw=(h, w),
+                           want_prob=bool(want_prob) or not self.compact_output)
         except BaseException:
             # the slot was reserved above; a pre-enqueue failure must release
             # it or max_queue capacity leaks away one request at a time
@@ -198,11 +211,16 @@ class PredictionService:
         float32 when a host transform runs) — jit specializes per dtype, so
         a mismatch would push the compile onto the first request."""
         img = np.zeros((h, w, channels), dtype)
+        # compact servers run TWO jitted variants (prob + masks-only, keyed
+        # by the requests' want_prob); warm both so neither lands the compile
+        # on the first json/png vs npz request
+        variants = (True, False) if self.compact_output else (True,)
         for b in sorted({self._padded_size(n)
                          for n in range(1, self.max_batch + 1)}):
-            self._forward_group([_Request(image=_pad_to_grid(img)[0],
-                                          orig_hw=(h, w))
-                                 for _ in range(b)])
+            for wp in variants:
+                self._forward_group([_Request(image=_pad_to_grid(img)[0],
+                                              orig_hw=(h, w), want_prob=wp)
+                                     for _ in range(b)])
 
     def close(self) -> None:
         self._queue.put(None)
@@ -277,7 +295,10 @@ class PredictionService:
 
             batch = jax.device_put(batch, self._sharding)
         if self.compact_output:
-            out = self.predictor.predict_compact(batch)
+            # masks-only only when EVERY request in the group agrees — a
+            # mixed group upgrades to the prob graph (supersets the answer)
+            want_prob = any(r.want_prob for r in group)
+            out = self.predictor.predict_compact(batch, want_prob=want_prob)
         else:
             out = self.predictor.predict(batch)
         with self._stats_lock:
@@ -290,7 +311,8 @@ class PredictionService:
             h, w = r.orig_hw
             res = {k: v[i, :h, :w] for k, v in out.items()}
             if self.compact_output:  # same response schema, 1/255-quantized
-                res["prob"] = res.pop("prob_u8").astype(np.float32) / 255.0
+                if "prob_u8" in res:
+                    res["prob"] = res.pop("prob_u8").astype(np.float32) / 255.0
                 if "selection_prob_u8" in res:
                     res["selection_prob"] = (
                         res.pop("selection_prob_u8").astype(np.float32) / 255.0)
@@ -436,7 +458,10 @@ def make_server(service: PredictionService, host: str, port: int,
                 self._send_json(400, {"error": f"could not decode image: {e}"})
                 return
             try:
-                out = service.predict_one(image)
+                # json/png responses read only the masks, so compact servers
+                # can ship the masks-only uint8 planes (half the D2H); npz
+                # exposes the probability arrays and needs the prob graph
+                out = service.predict_one(image, want_prob=(fmt == "npz"))
             except ServerBusyError as e:
                 self._send(503, json.dumps({"error": str(e)}).encode(),
                            "application/json", headers={"Retry-After": "1"})
@@ -543,9 +568,11 @@ def main(argv=None) -> None:
                              "response plane D2H as uint8 "
                              "(Predictor.predict_compact): pred/selection "
                              "masks identical, prob/selection_prob "
-                             "quantized to 1/255; same response schema. "
-                             "Cuts the output-transfer term of serving "
-                             "latency (docs/RESULTS.md)")
+                             "quantized to 1/255; npz responses keep their "
+                             "schema, while json/png requests ride the "
+                             "masks-only graph (no prob planes at all — "
+                             "half the D2H again, docs/RESULTS.md). Cuts "
+                             "the output-transfer term of serving latency")
     parser.add_argument("--request_timeout_s", type=float, default=1800.0)
     parser.add_argument("--max_body_mb", type=float, default=64.0)
     parser.add_argument("--warmup", type=int, nargs=2, default=None,

@@ -161,6 +161,32 @@ class TestPredictCompact:
         again = pq.predict_compact(imgs)
         assert first["pred"].shape == again["pred"].shape
 
+    def test_bf16_compute_nonrepresentable_cutoff(self, ckpt_selective, rng):
+        """Masks bit-match predict() on the DEFAULT serving dtype (bfloat16)
+        even for cutoffs with no exact bf16 representation.
+
+        Regression (round-5 ADVICE): predict() used to threshold the host
+        bf16 prob against the Python float in float64 while the compact graph
+        compared against a bf16-rounded cutoff — a bf16 prob value landing
+        between the two cutoff roundings (e.g. 0.369140625 vs cut 0.3685)
+        made the two paths disagree. Both now compare float32(prob) >
+        float32(cut)."""
+        path, _ = ckpt_selective
+        # 0.3685 rounds to 0.369140625 in bf16: any prob equal to that bf16
+        # value flips depending on which precision the comparison runs in
+        p = Predictor(path, selective=True, compute_dtype="bfloat16",
+                      cut_off=0.3685, s_cut_off=0.4985)
+        imgs = rng.random((2, 32, 32, 3)).astype(np.float32)
+        full = p.predict(imgs)
+        comp = p.predict_compact(imgs)
+        np.testing.assert_array_equal(comp["pred"], full["pred"])
+        np.testing.assert_array_equal(comp["selection"], full["selection"])
+        # the host threshold itself must quantize like the device one: a
+        # synthetic prob plane holding exactly the adversarial bf16 value
+        bf16_val = np.float32(jnp.asarray(0.3685, jnp.bfloat16))
+        assert (np.float32(bf16_val) > np.float32(0.3685)) == \
+            bool(jnp.asarray(bf16_val, jnp.float32) > jnp.float32(0.3685))
+
     def test_masks_only(self, ckpt_selective, rng):
         """want_prob=False returns just the uint8 masks (half the D2H) and
         they equal the full-precision path's."""

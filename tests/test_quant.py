@@ -164,6 +164,31 @@ class TestPipeline:
         with pytest.raises(ValueError, match="no calibrated activation scale"):
             quant.quantize_folded(folded, {})
 
+    def test_quantize_folded_rejects_degenerate_scales(self):
+        """A zero (all-constant calibration input) or non-finite activation
+        scale must raise, not silently garbage every downstream layer."""
+        v = _init_variables(selective=False)
+        folded = fold_batchnorm(v)["params"]
+        x = jnp.asarray(np.random.default_rng(0).random((1, 16, 16, 3)),
+                        jnp.float32)
+        calib_model = build_model("UNet_B", selective=False,
+                                  compute_dtype="float32", folded=True,
+                                  quant_calibrate=True)
+        _, calib = calib_model.apply({"params": folded}, x, train=False,
+                                     mutable=["quant_calib"])
+        scales = quant.extract_act_scales(calib)
+        # (all-zero calibration inputs are clamped to EPS at extraction; the
+        # quantize_folded guard defends against CORRUPT trees — a stored 0.0
+        # or NaN loaded from a bad artifact must raise, not divide)
+        for bad in (0.0, float("nan"), float("inf")):
+            def poison(node, bad=bad):
+                return {k: (poison(v_) if isinstance(v_, dict) else bad)
+                        for k, v_ in node.items()}
+
+            with pytest.raises(ValueError,
+                               match="degenerate activation scale"):
+                quant.quantize_folded(folded, poison(scales))
+
     def test_merge_act_scales_elementwise_max(self):
         a = {"trunk": {"enc1_1": 0.1, "enc1_2": 0.5}}
         b = {"trunk": {"enc1_1": 0.3, "enc1_2": 0.2}}
@@ -315,6 +340,27 @@ class TestEvalInt8:
                      verbose=False)
         assert r["n_models"] == 2
         assert np.isfinite(r["mIoU"])
+
+    def test_eval_calib_patches_flag(self, patch_tree, tmp_path, capsys):
+        """--calib_patches widens the int8 calibration sample; metrics stay
+        within the bf16 envelope at both widths and 0 is rejected."""
+        md = tmp_path / "mcal"
+        md.mkdir()
+        _make_ckpt(md, selective=True)
+        kw = dict(selective=True, select_eval=True, quantize="int8")
+        r8 = evaluate(self._cfg(patch_tree, str(md), calib_patches=2, **kw),
+                      verbose=True)
+        out = capsys.readouterr().out
+        assert "calibrated on 2 patches" in out
+        r64 = evaluate(self._cfg(patch_tree, str(md), calib_patches=64, **kw),
+                       verbose=True)
+        out = capsys.readouterr().out
+        # dataset fold has < 64 patches: clamped to the fold size, not crash
+        assert "calibrated on" in out
+        assert abs(r8["accuracy"] - r64["accuracy"]) < 0.05
+        with pytest.raises(ValueError, match="calib_patches"):
+            evaluate(self._cfg(patch_tree, str(md), calib_patches=0, **kw),
+                     verbose=False)
 
     def test_eval_rejects_unknown_quantize(self, patch_tree, tmp_path):
         md = tmp_path / "m2"

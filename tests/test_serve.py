@@ -584,6 +584,73 @@ class TestCompactOutput:
         finally:
             compact.close()
 
+    def test_masks_only_requests_skip_prob(self, served, image_arr):
+        """want_prob=False on a compact service ships just the masks (the
+        measured masks-only D2H path) and they match the prob variant's."""
+        _, _, predictor = served
+        compact = PredictionService(predictor, max_batch=4,
+                                    batch_window_ms=10.0,
+                                    request_timeout_s=300.0,
+                                    compact_output=True)
+        try:
+            img = image_arr.astype(np.float32) / 255.0
+            masks = compact.predict_one(img, want_prob=False)
+            assert set(masks) == {"pred", "selection"}
+            both = compact.predict_one(img)  # default keeps the full schema
+            assert set(both) == {"prob", "pred", "selection_prob", "selection"}
+            np.testing.assert_array_equal(masks["pred"], both["pred"])
+            np.testing.assert_array_equal(masks["selection"],
+                                          both["selection"])
+        finally:
+            compact.close()
+
+    def test_full_precision_service_ignores_want_prob(self, served, image_arr):
+        """On a non-compact service the hint is a no-op: prob always ships."""
+        _, _, predictor = served
+        service = PredictionService(predictor, max_batch=2,
+                                    batch_window_ms=5.0,
+                                    request_timeout_s=300.0)
+        try:
+            img = image_arr.astype(np.float32) / 255.0
+            res = service.predict_one(img, want_prob=False)
+            assert "prob" in res and "selection_prob" in res
+        finally:
+            service.close()
+
+    def test_http_json_rides_masks_only(self, image_arr, tmp_path):
+        """End-to-end HTTP on a compact server: format=json (masks-only
+        graph) agrees with format=npz (prob graph) on the summary scalars."""
+        ckpt = _make_ckpt(str(tmp_path), selective=True)
+        predictor = Predictor(ckpt, selective=True, compute_dtype="float32")
+        service = PredictionService(predictor, max_batch=2,
+                                    batch_window_ms=5.0,
+                                    request_timeout_s=300.0,
+                                    compact_output=True)
+        server = make_server(service, "127.0.0.1", 0,
+                             model_info={"compact_output": True})
+        thread = threading.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+        url = f"http://127.0.0.1:{server.server_address[1]}"
+        try:
+            code, body, _ = _request(url + "/predict?format=json",
+                                     method="POST",
+                                     data=_png_bytes(image_arr))
+            assert code == 200
+            summary = json.loads(body)
+            code, body, _ = _request(url + "/predict?format=npz",
+                                     method="POST",
+                                     data=_png_bytes(image_arr))
+            assert code == 200
+            maps = np.load(io.BytesIO(body))
+            assert summary["tumor_fraction"] == pytest.approx(
+                float(maps["pred"].mean()))
+            assert summary["coverage"] == pytest.approx(
+                float(maps["selection"].mean()))
+        finally:
+            server.shutdown()
+            server.server_close()
+            service.close()
+
     def test_http_server_serves_compact(self, image_arr, tmp_path):
         """End-to-end HTTP: compact server's npz maps match the direct
         Predictor within the 1/255 quantization step."""
