@@ -42,7 +42,8 @@ WARMUP_STEPS = 3
 TIMED_STEPS = 20
 
 
-def build_step(batch_size: int, bn_stats: str = "float32"):
+def build_step(batch_size: int, bn_stats: str = "float32",
+               train_quant: str = "none"):
     from selectivenet_for_semantic_segmentation_binary_tpu.config import TrainConfig
     from selectivenet_for_semantic_segmentation_binary_tpu.models import build_model
     from selectivenet_for_semantic_segmentation_binary_tpu.optim import build_optimizer
@@ -60,11 +61,12 @@ def build_step(batch_size: int, bn_stats: str = "float32"):
     cfg = TrainConfig(
         model_arch="UNet_B", selective=True, loss="BCElogit", s_lamb=2.0,
         patch_size=PATCH, batch_size=batch_size, compute_dtype="bfloat16",
-        bn_stats=bn_stats,
+        bn_stats=bn_stats, train_quant=train_quant,
     )
     mesh = make_mesh()
     model = build_model(cfg.model_arch, cfg.n_cls, cfg.selective, cfg.compute_dtype,
-                        fused=resolve_fused(cfg, mesh), bn_stats=cfg.bn_stats)
+                        fused=resolve_fused(cfg, mesh), bn_stats=cfg.bn_stats,
+                        train_quant=train_quant)
     tx = build_optimizer(cfg)
     state = replicate(create_state(cfg, model, tx, jax.random.PRNGKey(0)), mesh)
     step = make_train_step(model, cfg, tx)
@@ -76,8 +78,9 @@ def build_step(batch_size: int, bn_stats: str = "float32"):
     return state, step, batch, mesh
 
 
-def run(batch_size: int, bn_stats: str = "float32") -> float:
-    state, step, batch, mesh = build_step(batch_size, bn_stats)
+def run(batch_size: int, bn_stats: str = "float32",
+        train_quant: str = "none") -> float:
+    state, step, batch, mesh = build_step(batch_size, bn_stats, train_quant)
     rng = jax.random.PRNGKey(0)
     for _ in range(WARMUP_STEPS):
         state, metrics = step(state, batch, 1e-3, rng)
@@ -97,6 +100,43 @@ def run(batch_size: int, bn_stats: str = "float32") -> float:
     return (batch_size * TIMED_STEPS) / dt / n_chips
 
 
+def run_eval(batch_size: int) -> float:
+    """Serving/eval throughput: the BN-folded bf16 selective forward (the
+    graph behind eval.py / snet-predict / snet-serve) at the same batch and
+    patch size, patches/s/chip. Covers the '(train+eval)' half of
+    BASELINE.json's metric that the train number alone does not."""
+    import numpy as np
+
+    from selectivenet_for_semantic_segmentation_binary_tpu.models import build_model
+    from selectivenet_for_semantic_segmentation_binary_tpu.ops.fold_bn import (
+        fold_batchnorm,
+    )
+
+    base = build_model("UNet_B", selective=True, compute_dtype="float32")
+    variables = jax.device_get(
+        base.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+    )
+    folded = {"params": fold_batchnorm(variables)["params"]}
+    model = build_model("UNet_B", selective=True, compute_dtype="bfloat16",
+                        folded=True)
+    fwd = jax.jit(lambda x: model.apply(folded, x, train=False))
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(
+        (batch_size, PATCH, PATCH, 3)).astype(np.float32))
+    out = None
+    for _ in range(WARMUP_STEPS):
+        out = fwd(x)
+    float(out[0][0, 0, 0])  # scalar D2H fetch — see run()'s sync note
+
+    t0 = time.perf_counter()
+    for _ in range(TIMED_STEPS):
+        out = fwd(x)
+    float(out[0][0, 0, 0])  # device execution is serial: last sync covers all
+    dt = time.perf_counter() - t0
+    return (batch_size * TIMED_STEPS) / dt / len(jax.devices())
+
+
 def main() -> None:
     import sys
 
@@ -114,6 +154,12 @@ def main() -> None:
     if value is None:
         raise last_err
 
+    eval_value = None
+    try:
+        eval_value = run_eval(batch_size)
+    except Exception:
+        pass  # train number is the headline; eval is additive evidence
+
     print(json.dumps({
         "metric": "train_patches_per_sec_per_chip_256px",
         "value": round(value, 2),
@@ -122,6 +168,9 @@ def main() -> None:
         # Measured single-chip ceiling band for exact-parity bf16 math on one
         # v5e (docs/RESULTS.md): 2.8-3.9x = 561-773 p/s; 5x needs multi-chip.
         "ceiling_x": [2.8, 3.9],
+        # the serving/eval half of BASELINE.json's "(train+eval)" metric:
+        # BN-folded bf16 selective forward, same batch/patch (run_eval)
+        "eval_value": round(eval_value, 2) if eval_value else None,
     }))
 
 

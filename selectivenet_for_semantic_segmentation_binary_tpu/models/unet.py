@@ -218,6 +218,66 @@ class _QuantConvParams(nn.Module):
         return kq, ks, a, b
 
 
+def _qat_fwd_math(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    """Dynamic W8A8 int8 conv: per-tensor activation absmax scale x
+    per-output-channel kernel absmax scale, int8 x int8 -> int32 MXU
+    accumulation, float32 dequant. Scales are recomputed on-device every
+    step (weights move during training, unlike the static-scale serving
+    trunk in ops/quant.py)."""
+    xf = x.astype(jnp.float32)
+    a = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-8) * (1.0 / 127.0)
+    xq = jnp.clip(jnp.round(xf * (1.0 / a)), -127.0, 127.0).astype(jnp.int8)
+    kf = kernel.astype(jnp.float32)
+    ks = jnp.maximum(jnp.max(jnp.abs(kf), axis=(0, 1, 2)),
+                     1e-8) * (1.0 / 127.0)
+    kq = jnp.clip(jnp.round(kf * (1.0 / ks[None, None, None, :])),
+                  -127.0, 127.0).astype(jnp.int8)
+    y = jax.lax.conv_general_dilated(
+        xq, kq, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    return y.astype(jnp.float32) * (a * ks)
+
+
+@jax.custom_vjp
+def int8_ste_conv(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    """QAT trunk conv (``--train_quant int8``): int8 W8A8 forward, bf16
+    straight-through backward.
+
+    Forward runs :func:`_qat_fwd_math` (int8 MXU at 2x the bf16 rate, int8
+    activation reads at 1/2 the bf16 bytes); backward treats the op as the
+    FLOAT conv it approximates — dX and dW are the standard bilinear conv
+    gradients evaluated in bf16 from the saved float residuals (the
+    straight-through estimator; quantization's round/clip contribute zero
+    gradient). An opt-in documented numerics deviation in the ``--bn_stats``
+    mold: parameters stay the plain float ``conv/{kernel,bias}`` tree, so
+    checkpoints interchange with every other path."""
+    return _qat_fwd_math(x, kernel)
+
+
+def _int8_ste_fwd(x, kernel):
+    return _qat_fwd_math(x, kernel), (x, kernel)
+
+
+def _int8_ste_bwd(res, g):
+    x, kernel = res
+
+    def conv_f(xb, kb):
+        return jax.lax.conv_general_dilated(
+            xb, kb, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    # the unused primal output of this vjp is dead code XLA eliminates; only
+    # the two backward convs (dX, dW) are materialized, both in bf16
+    _, vjp = jax.vjp(conv_f, x.astype(jnp.bfloat16),
+                     kernel.astype(jnp.bfloat16))
+    dx, dk = vjp(g.astype(jnp.bfloat16))
+    return dx.astype(x.dtype), dk.astype(kernel.dtype)
+
+
+int8_ste_conv.defvjp(_int8_ste_fwd, _int8_ste_bwd)
+
+
 class CBR(nn.Module):
     """Conv3x3 -> BatchNorm -> ReLU (reference model.py:9-15).
 
@@ -243,6 +303,7 @@ class CBR(nn.Module):
     bn_groups: int = 1
     quantize: bool = False
     calibrate: bool = False
+    train_quant: str = "none"  # 'int8': QAT forward (int8_ste_conv) in train
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -264,19 +325,34 @@ class CBR(nn.Module):
                 preferred_element_type=jnp.int32)
             y = y.astype(jnp.float32) * (a * ks) + b
             return jnp.maximum(y, 0.0).astype(self.dtype)
-        fan_in = x.shape[-1] * 9
-        x = nn.Conv(
-            self.features,
-            kernel_size=(3, 3),
-            strides=(1, 1),
-            padding=1,
-            use_bias=True,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            kernel_init=conv_kernel_init,
-            bias_init=torch_bias_init(fan_in),
-            name="conv",
-        )(x)
+        if self.train_quant == "int8":
+            # QAT (--train_quant int8): same conv/{kernel,bias} float params
+            # (checkpoints interchange), int8 forward in train mode only —
+            # valid/eval forwards run the plain float conv so metrics report
+            # the deployable graph
+            kernel, cbias = _ConvParams(self.features, name="conv")(
+                x.shape[-1])
+            if train and not self.is_initializing():
+                y = int8_ste_conv(x, kernel)
+            else:
+                y = jax.lax.conv_general_dilated(
+                    x.astype(self.dtype), kernel.astype(self.dtype), (1, 1),
+                    "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            x = (y + cbias).astype(self.dtype)
+        else:
+            fan_in = x.shape[-1] * 9
+            x = nn.Conv(
+                self.features,
+                kernel_size=(3, 3),
+                strides=(1, 1),
+                padding=1,
+                use_bias=True,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                kernel_init=conv_kernel_init,
+                bias_init=torch_bias_init(fan_in),
+                name="conv",
+            )(x)
         if not self.folded:
             if self.bn_mode == "per_replica":
                 x = GroupedBatchNorm(
@@ -547,13 +623,15 @@ class _UNetTrunk(nn.Module):
     bn_groups: int = 1
     quantize: bool = False
     calibrate: bool = False
+    train_quant: str = "none"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool, mc_dropout: bool = False) -> jax.Array:
         d = self.dtype
         cbr = partial(CBR, dtype=d, folded=self.folded, bn_stats=self.bn_stats,
                       bn_mode=self.bn_mode, bn_groups=self.bn_groups,
-                      quantize=self.quantize, calibrate=self.calibrate)
+                      quantize=self.quantize, calibrate=self.calibrate,
+                      train_quant=self.train_quant)
 
         enc1 = cbr(64, name="enc1_1")(x, train)
         enc1 = cbr(64, name="enc1_2")(enc1, train)
@@ -610,6 +688,7 @@ class UNetB(nn.Module):
     bn_groups: int = 1           # emulated DataParallel replica count
     quantize: bool = False       # W8A8 int8 trunk (serving; ops/quant.py)
     calibrate: bool = False      # sow per-CBR input absmax (quant calibration)
+    train_quant: str = "none"    # 'int8': QAT train-mode trunk (int8_ste_conv)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False, mc_dropout: bool = False):
@@ -623,6 +702,7 @@ class UNetB(nn.Module):
                               folded=self.folded, bn_stats=self.bn_stats,
                               bn_mode=self.bn_mode, bn_groups=self.bn_groups,
                               quantize=self.quantize, calibrate=self.calibrate,
+                              train_quant=self.train_quant,
                               name="trunk")(x, train, mc_dropout)
         out = Head(1, dtype=self.dtype, name="conv1x1")(feat)
         out = jnp.squeeze(out, -1).astype(jnp.float32)
@@ -653,6 +733,7 @@ class UNet(nn.Module):
     bn_groups: int = 1
     quantize: bool = False
     calibrate: bool = False
+    train_quant: str = "none"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False, mc_dropout: bool = False):
@@ -666,6 +747,7 @@ class UNet(nn.Module):
                               folded=self.folded, bn_stats=self.bn_stats,
                               bn_mode=self.bn_mode, bn_groups=self.bn_groups,
                               quantize=self.quantize, calibrate=self.calibrate,
+                              train_quant=self.train_quant,
                               name="trunk")(x, train, mc_dropout)
         out = Head(self.n_cls, dtype=self.dtype, name="conv1x1")(feat).astype(jnp.float32)
         if not self.selective:
@@ -689,6 +771,7 @@ def build_model(
     bn_groups: int = 1,
     quantize: str = "none",
     quant_calibrate: bool = False,
+    train_quant: str = "none",
 ) -> nn.Module:
     """Factory matching the reference's arch selection (train.py:71-74).
 
@@ -705,7 +788,12 @@ def build_model(
     ops.quant.quantize_folded (requires ``folded=True``);
     ``quant_calibrate=True`` builds the folded float graph that sows each
     CBR input's absmax into the ``quant_calib`` collection (the calibration
-    pass those params are derived from)."""
+    pass those params are derived from).
+
+    ``train_quant='int8'`` (QAT, ``--train_quant int8``): trunk convs run the
+    dynamic-scale int8 W8A8 forward in TRAIN mode with a bf16
+    straight-through backward (int8_ste_conv); params stay the plain float
+    tree, valid/eval forwards run the float conv."""
     dtype = jnp.dtype(compute_dtype)
     if folded and fused:
         raise ValueError("folded serving graph and fused training trunk are exclusive")
@@ -733,6 +821,19 @@ def build_model(
         # conclusions, so refuse the combination outright
         raise ValueError("bn_stats is not implemented by the fused trunk; "
                          "use bn_stats='float32' or fused=False")
+    if train_quant not in ("none", "int8"):
+        raise ValueError(f"unknown train_quant {train_quant!r} "
+                         "(expected 'none' or 'int8')")
+    if train_quant == "int8":
+        # same silent-no-op policy as the other numeric-variant guards:
+        # refuse combinations that would run something else than claimed
+        if folded or quantize == "int8" or quant_calibrate:
+            raise ValueError("train_quant='int8' is a TRAINING-trunk variant; "
+                             "it is exclusive with the folded/serving graphs "
+                             "(folded/quantize/quant_calibrate)")
+        if fused:
+            raise ValueError("train_quant='int8' is not implemented by the "
+                             "fused trunk; use the default trunk (fused=False)")
     if bn_mode not in ("global", "per_replica"):
         raise ValueError(f"unknown bn_mode {bn_mode!r} "
                          "(expected 'global' or 'per_replica')")
@@ -751,13 +852,15 @@ def build_model(
         return UNetB(selective=selective, dtype=dtype, dropout_rate=dropout_rate,
                      folded=folded, fused=fused, fused_interpret=fused_interpret,
                      bn_stats=bn_stats, bn_mode=bn_mode, bn_groups=bn_groups,
-                     quantize=quantize == "int8", calibrate=quant_calibrate)
+                     quantize=quantize == "int8", calibrate=quant_calibrate,
+                     train_quant=train_quant)
     if model_arch == "UNet":
         return UNet(n_cls=n_cls, selective=selective, dtype=dtype,
                     dropout_rate=dropout_rate, folded=folded, fused=fused,
                     fused_interpret=fused_interpret, bn_stats=bn_stats,
                     bn_mode=bn_mode, bn_groups=bn_groups,
-                    quantize=quantize == "int8", calibrate=quant_calibrate)
+                    quantize=quantize == "int8", calibrate=quant_calibrate,
+                    train_quant=train_quant)
     raise ValueError(f"unknown model_arch {model_arch!r} (expected 'UNet' or 'UNet_B')")
 
 

@@ -580,7 +580,12 @@ def train(cfg: TrainConfig, loaders=None, verbose: bool = True) -> Dict[str, Any
                         fused=resolve_fused(cfg, mesh),
                         bn_stats=getattr(cfg, "bn_stats", "float32"),
                         bn_mode=getattr(cfg, "bn_mode", "global"),
-                        bn_groups=resolve_bn_groups(cfg, mesh))
+                        bn_groups=resolve_bn_groups(cfg, mesh),
+                        train_quant=getattr(cfg, "train_quant", "none"))
+    if verbose and getattr(cfg, "train_quant", "none") != "none":
+        print(f"train_quant={cfg.train_quant}: QAT int8 W8A8 forward convs, "
+              "bf16 straight-through backward (documented numerics "
+              "deviation; valid/eval run the float graph)")
     tx = build_optimizer(cfg)
     rng = jax.random.PRNGKey(cfg.seed)
     rng, init_rng = jax.random.split(rng)

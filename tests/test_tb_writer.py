@@ -112,3 +112,43 @@ class TestTwoChannelPanels:
 
         arr = np.asarray(Image.open(io.BytesIO(im.encoded_image_string)))
         assert arr[0, 0] == 255 and arr[0, 11] == 0
+
+
+class TestTBReader:
+    """utils/tb_reader.py: the dependency-free scalar reader used by the
+    long-horizon analysis drivers (scripts/canonical_200ep.py)."""
+
+    def test_scalar_roundtrip(self, tmp_path):
+        from selectivenet_for_semantic_segmentation_binary_tpu.utils.tb_reader import (
+            read_scalars,
+        )
+
+        w = SummaryWriter(str(tmp_path))
+        for step in range(1, 6):
+            w.add_scalar("loss", 1.0 / step, step)
+            w.add_scalar("accuracy", step / 10.0, step)
+        w.close()
+        scalars = read_scalars(str(tmp_path))
+        assert set(scalars) == {"loss", "accuracy"}
+        assert [s for s, _ in scalars["loss"]] == [1, 2, 3, 4, 5]
+        np.testing.assert_allclose([v for _, v in scalars["loss"]],
+                                   [1.0 / s for s in range(1, 6)], rtol=1e-6)
+
+    def test_skips_image_summaries_and_concatenates_files(self, tmp_path):
+        from selectivenet_for_semantic_segmentation_binary_tpu.utils.tb_reader import (
+            read_scalars,
+        )
+
+        w1 = SummaryWriter(str(tmp_path))
+        w1.add_scalar("loss", 0.5, 1)
+        w1.add_images("panel", np.zeros((2, 8, 8, 3), np.uint8), 1)
+        w1.close()
+        import time as _time
+
+        _time.sleep(1.1)  # distinct filename timestamp (writer names by s)
+        w2 = SummaryWriter(str(tmp_path))  # restart appends a second file
+        w2.add_scalar("loss", 0.25, 2)
+        w2.close()
+        scalars = read_scalars(str(tmp_path))
+        assert [s for s, _ in scalars["loss"]] == [1, 2]
+        assert "panel" not in scalars
