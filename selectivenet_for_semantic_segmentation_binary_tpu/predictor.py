@@ -41,10 +41,15 @@ from .ops.ingest import device_ingest, normalize_raw, to_unit_float
 from .utils.checkpoint import load_net_checkpoint
 
 # the trunk max-pools 3x, so serving inputs need dims % 8 == 0 (same GRID as
-# tools/tiled_inference); calibration crops are bounded to keep the one-off
-# unjitted calibration forward cheap on huge slides
+# tools/tiled_inference); calibration crops/samples are bounded because the
+# one-off calibration forward runs EAGER (unjitted, docstring below) — every
+# trunk intermediate materializes in HBM at f32, so an unbounded first batch
+# (e.g. 128 @ 256px = 2.1 GB per level-1 activation) OOMs the chip. Absmax
+# scales from a bounded sample only start narrower; explicit calibrate()
+# calls merge-widen them monotonically.
 _GRID = 8
 _CALIB_MAX_DIM = 1024
+_CALIB_MAX_EXAMPLES = 8
 
 
 class Predictor:
@@ -148,16 +153,22 @@ class Predictor:
         (re)build the quantized forward. Runs the float folded graph UNJITTED
         — a one-off pass; jitting it would pay a full remote compile for a
         graph used once (docs/RESULTS.md: 24-1128 s per compile on the
-        tunnel)."""
+        tunnel). Because the pass is eager, every trunk intermediate
+        materializes in HBM at f32 — so the batch is processed in
+        <= _CALIB_MAX_EXAMPLES example chunks, which is EXACT (the absmax of
+        a union is the max of the chunk absmaxes, and chunk scales merge by
+        elementwise max); an unchunked 128 @ 256px batch OOMs a v5e."""
         from .ops.quant import extract_act_scales, merge_act_scales
 
-        _, calib = self._calib_model.apply(
-            {"params": self._folded_params}, x, train=False,
-            mutable=["quant_calib"])
-        scales = extract_act_scales(calib)
-        if self._act_scales is not None:
-            scales = merge_act_scales(self._act_scales, scales)
-        self._act_scales = scales
+        for i in range(0, x.shape[0], _CALIB_MAX_EXAMPLES):
+            _, calib = self._calib_model.apply(
+                {"params": self._folded_params},
+                x[i:i + _CALIB_MAX_EXAMPLES], train=False,
+                mutable=["quant_calib"])
+            scales = extract_act_scales(calib)
+            if self._act_scales is not None:
+                scales = merge_act_scales(self._act_scales, scales)
+            self._act_scales = scales
         self._finalize_quant()
 
     def _finalize_quant(self) -> None:

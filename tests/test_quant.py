@@ -233,6 +233,24 @@ class TestPredictorInt8:
         np.testing.assert_array_equal(np.asarray(qe["prob"]),
                                       np.asarray(ql["prob"]))
 
+    def test_calibration_chunking_is_exact(self, sel_ckpt, rng):
+        """Calibration batches are processed in <= 8-example eager chunks
+        (an unchunked 128 @ 256px first batch OOMs a v5e, round 5): the
+        chunked scales must equal a per-example calibration sequence exactly
+        (absmax of a union == max of chunk absmaxes)."""
+        big = rng.random((20, 32, 32, 3)).astype(np.float32)
+        chunked = Predictor(sel_ckpt, selective=True, compute_dtype="float32",
+                            quantize="int8", calibration_images=big)
+        seq = Predictor(sel_ckpt, selective=True, compute_dtype="float32",
+                        quantize="int8")
+        for i in range(big.shape[0]):
+            seq.calibrate(big[i:i + 1])
+        flat_a = jax.tree_util.tree_leaves_with_path(chunked._act_scales)
+        flat_b = jax.tree_util.tree_leaves_with_path(seq._act_scales)
+        assert [p for p, _ in flat_a] == [p for p, _ in flat_b]
+        for (p, a), (_, b) in zip(flat_a, flat_b):
+            assert a == pytest.approx(b, rel=1e-6), p
+
     def test_tracks_float_predictor(self, sel_ckpt, images):
         pf = Predictor(sel_ckpt, selective=True, compute_dtype="float32")
         pq = Predictor(sel_ckpt, selective=True, compute_dtype="float32",
